@@ -1,0 +1,155 @@
+"""Experiment drivers: train / evaluate / sample.
+
+Reference equivalent (SURVEY.md §2 L4, §4.1-4.3): `train.py`, `evaluate.py`,
+`sample.py` at the repo root, each invoked as
+``python train.py --data=<yaml> --model=<yaml> --task=<yaml>
+[--checkpt_dir=...]``.  The repo-root scripts here are thin wrappers over
+these mains, so the reference command lines work unchanged.
+
+Differences from the reference are all on the inside: the step loop issues
+ONE device dispatch per step (episode sampling is fused into the train step),
+eval aggregates exact (ce_sum, token_count) pairs, and sampling is a single
+jitted program per batch of continuations.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fewshot import sampling as sampling_mod
+from fewshot import training
+from fewshot.config import add_config_flags, load_config, parse_overrides
+from fewshot.data import episodes as eps
+from fewshot.data.corpus import PackedCorpus
+from fewshot.data.lyrics import detokenize
+from fewshot.data import midi as midi_mod
+from fewshot.utils.ckpt import recover_or_init, save_checkpoint
+from fewshot.utils.metrics import MetricsLogger, Throughput
+
+
+def _setup(argv, extra_flags=None):
+    parser = argparse.ArgumentParser()
+    add_config_flags(parser)
+    if extra_flags:
+        extra_flags(parser)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.data, args.model, args.task,
+                      parse_overrides(args.set))
+    corpus_dir = Path(cfg.corpus_dir)
+    if not (corpus_dir / "corpus.npz").exists():
+        sys.exit(f"no packed corpus at {corpus_dir} — run "
+                 f"scripts/prepare_data.py first (see README)")
+    corpus = PackedCorpus.load(corpus_dir)
+    return args, cfg, corpus
+
+
+def _split_arg(cfg, corpus, split: str):
+    """The sampler's index array: artist ids (episodic) or song pool (lm)."""
+    if cfg.task == "episodic":
+        return jnp.asarray(corpus.splits[split])
+    return jnp.asarray(eps.split_song_pool(corpus, split))
+
+
+def train_main(argv=None) -> None:
+    args, cfg, corpus = _setup(argv)
+    vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
+    data = eps.put_corpus(corpus)
+    train_split = _split_arg(cfg, corpus, "train")
+    val_split = _split_arg(cfg, corpus, "val")
+
+    state = training.init_train_state(cfg, len(corpus.vocab))
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    start_step = int(state.step)
+    if restored:
+        print(f"restored checkpoint at step {start_step}", flush=True)
+
+    train_step = training.make_train_step(cfg, data, train_split)
+    logger = MetricsLogger(args.checkpt_dir)
+    tput = Throughput()
+    tput.start()
+    for _ in range(start_step, cfg.max_steps):
+        state, metrics = train_step(state)
+        step = int(state.step)
+        tput.add(cfg.batch_size)
+        if step % cfg.log_interval == 0 or step == cfg.max_steps:
+            jax.block_until_ready(metrics["loss"])
+            logger.log(step, loss=metrics["loss"],
+                       episodes_per_sec=tput.rate(),
+                       grad_norm=metrics["grad_norm"])
+            tput.start()
+        if cfg.eval_interval and step % cfg.eval_interval == 0:
+            nll = training.evaluate(cfg, state.params, data, val_split,
+                                    jax.random.PRNGKey(cfg.seed + step))
+            logger.log(step, val_nll=nll)
+        if args.checkpt_dir and cfg.checkpoint_interval and \
+                step % cfg.checkpoint_interval == 0:
+            save_checkpoint(args.checkpt_dir, state, vocab_hash)
+    if args.checkpt_dir:
+        save_checkpoint(args.checkpt_dir, state, vocab_hash)
+    logger.close()
+
+
+def evaluate_main(argv=None) -> None:
+    def flags(p):
+        p.add_argument("--split", default="test",
+                       choices=("train", "val", "test"))
+        p.add_argument("--episodes", type=int, default=None)
+    args, cfg, corpus = _setup(argv, flags)
+    data = eps.put_corpus(corpus)
+    split = _split_arg(cfg, corpus, args.split)
+    state = training.init_train_state(cfg, len(corpus.vocab))
+    vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    if args.checkpt_dir and not restored:
+        sys.exit(f"no checkpoint found in {args.checkpt_dir}")
+    nll = training.evaluate(cfg, state.params, data, split,
+                            jax.random.PRNGKey(cfg.seed),
+                            num_episodes=args.episodes)
+    print(f"{args.split}_nll_per_token={nll:.6f}", flush=True)
+
+
+def sample_main(argv=None) -> None:
+    def flags(p):
+        p.add_argument("--out", type=str, default="samples",
+                       help="output dir for .txt / .mid continuations")
+        p.add_argument("--num", type=int, default=4,
+                       help="number of continuations")
+        p.add_argument("--split", default="test",
+                       choices=("train", "val", "test"))
+    args, cfg, corpus = _setup(argv, flags)
+    data = eps.put_corpus(corpus)
+    split = _split_arg(cfg, corpus, args.split)
+    state = training.init_train_state(cfg, len(corpus.vocab))
+    vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    if args.checkpt_dir and not restored:
+        sys.exit(f"no checkpoint found in {args.checkpt_dir}")
+
+    key = jax.random.PRNGKey(cfg.seed)
+    k_ep, k_gen = jax.random.split(key)
+    ep = eps.sample_episode(k_ep, data, split, args.num,
+                            k=cfg.support_size, q=cfg.query_size)
+    toks = sampling_mod.generate(state.params, ep.support, ep.support_len,
+                                 k_gen, cfg)
+    toks = np.asarray(jax.device_get(toks))
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    for i in range(args.num):
+        artist = (corpus.artist_names[int(ep.artist[i])]
+                  if corpus.artist_names else str(int(ep.artist[i])))
+        words = corpus.vocab.decode(toks[i])
+        if cfg.dataset == "midi":
+            notes = midi_mod.events_to_notes(words)
+            path = out / f"sample_{i:02d}_{artist}.mid"
+            midi_mod.write_midi(notes, path)
+        else:
+            path = out / f"sample_{i:02d}_{artist}.txt"
+            path.write_text(detokenize(words) + "\n")
+        print(f"wrote {path}", flush=True)

@@ -1,0 +1,161 @@
+"""Experiment configuration: 3-file YAML merge + validated dataclass.
+
+Reference surface (SURVEY.md §2 L4, §6 "Config / flag system"): the original
+drives every entry point with ``--data=<yaml> --model=<yaml> --task=<yaml>``
+merged into one config dict.  We preserve that CLI shape exactly and add
+strict validation on top: after the merge, every key must be a declared field
+of :class:`Config` — unknown keys are an error, so typos can't silently fall
+back to defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen (hashable) so a Config can ride as a jit static argument."""
+    # ---- data (configs/data/*.yaml) ----
+    dataset: str = "lyrics"          # lyrics | midi
+    corpus_dir: str = "data/lyrics"  # dir holding corpus.npz (+ vocab.json)
+    vocab_size: int = 5000           # cap on learned vocab (incl. specials)
+    max_len: int = 256               # per-song token budget (pad/truncate)
+
+    # ---- model (configs/model/*.yaml) ----
+    model: str = "lstm"              # lstm | transformer
+    embed_dim: int = 256
+    hidden_dim: int = 512
+    num_layers: int = 1
+    dropout: float = 0.0
+    support_mode: str = "state"      # none | state  (how support set is used)
+    cell: str = "scan"               # scan | pallas (LSTM recurrence impl)
+    compute_dtype: str = "float32"   # float32 | bfloat16 (matmul dtype)
+    tie_embeddings: bool = True
+    # transformer-only
+    num_heads: int = 8
+    mlp_ratio: int = 4
+
+    # ---- task (configs/task/*.yaml) ----
+    task: str = "episodic"           # lm | episodic
+    batch_size: int = 16             # episodes per step (global, all chips)
+    support_size: int = 5            # K songs conditioned on
+    query_size: int = 5              # Q songs scored
+    max_steps: int = 2000
+    lr: float = 1e-3
+    optimizer: str = "adam"          # adam | sgd
+    grad_clip: float = 1.0           # global-norm clip; 0 disables
+    weight_decay: float = 0.0
+    warmup_steps: int = 0
+    eval_interval: int = 200
+    eval_episodes: int = 64
+    checkpoint_interval: int = 500
+    log_interval: int = 20
+    seed: int = 0
+    data_parallel: bool = True       # shard episodes over jax.devices()
+
+    # ---- sampling (sample entry point) ----
+    sample_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 40                  # 0 = full ancestral
+
+    # -- validation ---------------------------------------------------------
+
+    _CHOICES = {
+        "dataset": ("lyrics", "midi"),
+        "model": ("lstm", "transformer"),
+        "support_mode": ("none", "state"),
+        "cell": ("scan", "pallas"),
+        "compute_dtype": ("float32", "bfloat16"),
+        "task": ("lm", "episodic"),
+        "optimizer": ("adam", "sgd"),
+    }
+
+    def __post_init__(self) -> None:
+        for field, choices in self._CHOICES.items():
+            val = getattr(self, field)
+            if val not in choices:
+                raise ValueError(
+                    f"config: {field}={val!r} not in {choices}")
+        for field in ("vocab_size", "max_len", "embed_dim", "hidden_dim",
+                      "num_layers", "batch_size", "support_size",
+                      "query_size", "max_steps"):
+            if getattr(self, field) <= 0:
+                raise ValueError(f"config: {field} must be positive")
+        if self.model == "transformer" and self.embed_dim % self.num_heads:
+            raise ValueError("config: embed_dim must divide num_heads")
+        if self.task == "episodic" and self.query_size < 1:
+            raise ValueError("config: episodic task needs query_size >= 1")
+
+
+_FIELDS = {f.name for f in dataclasses.fields(Config)}
+
+
+def _load_yaml(path: str | Path) -> dict[str, Any]:
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    if doc is None:
+        return {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"config file {path} must be a YAML mapping")
+    return doc
+
+
+def merge_configs(*dicts: dict[str, Any]) -> Config:
+    """Merge config dicts left-to-right (later wins) into a validated Config."""
+    merged: dict[str, Any] = {}
+    for d in dicts:
+        for k, v in d.items():
+            if k not in _FIELDS:
+                raise ValueError(
+                    f"config: unknown key {k!r} (known: {sorted(_FIELDS)})")
+            merged[k] = v
+    return Config(**merged)
+
+
+def load_config(data: str | None = None, model: str | None = None,
+                task: str | None = None,
+                overrides: dict[str, Any] | None = None) -> Config:
+    """Load and merge the reference-style ``--data/--model/--task`` YAMLs."""
+    parts = [_load_yaml(p) for p in (data, model, task) if p]
+    if overrides:
+        parts.append(overrides)
+    return merge_configs(*parts)
+
+
+def add_config_flags(parser) -> None:
+    """Attach the reference CLI surface to an argparse parser."""
+    parser.add_argument("--data", type=str, default=None,
+                        help="data YAML config")
+    parser.add_argument("--model", type=str, default=None,
+                        help="model YAML config")
+    parser.add_argument("--task", type=str, default=None,
+                        help="task YAML config")
+    parser.add_argument("--checkpt_dir", type=str, default=None,
+                        help="checkpoint directory (recover_or_init)")
+    parser.add_argument("--set", nargs="*", default=[], metavar="K=V",
+                        help="inline overrides, e.g. --set lr=3e-4 seed=1")
+
+
+def parse_overrides(pairs: list[str]) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for pair in pairs:
+        if "=" not in pair:
+            raise ValueError(f"--set expects K=V, got {pair!r}")
+        k, v = pair.split("=", 1)
+        # YAML 1.1 won't parse "3e-4" as a float (needs a dot) — try plain
+        # numeric coercion first, then fall back to YAML for bool/str/etc.
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = yaml.safe_load(v)
+    return out

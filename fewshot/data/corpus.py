@@ -1,0 +1,175 @@
+"""Packed corpus: the HBM-resident layout every hot path reads from.
+
+Reference equivalent (SURVEY.md §2 L1/L2): the Loader's token cache plus the
+EpisodeSampler's per-step Python assembly.  Here the whole corpus is packed
+ONCE into dense, static-shape int32 arrays and `jax.device_put` moves it to
+HBM once per process; episode assembly is then a pure gather (episodes.py).
+
+Arrays (all int32):
+    songs            [S, max_len]  BOS + tokens + EOS, PAD-padded/truncated
+    song_len         [S]           true length incl. BOS/EOS
+    song_artist      [S]           owning artist id
+    artist_song_ids  [A, M]        song ids per artist, padded with slot 0
+    artist_num_songs [A]           valid prefix length of each artist row
+    splits[name]     [n]           artist ids per split (train/val/test)
+
+Padding rows in `artist_song_ids` are never selected: the sampler masks slots
+>= artist_num_songs (episodes.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from fewshot.data import midi as midi_mod
+from fewshot.data import lyrics as lyrics_mod
+from fewshot.data.vocab import BOS, EOS, PAD, Vocab
+
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@dataclass
+class PackedCorpus:
+    songs: np.ndarray
+    song_len: np.ndarray
+    song_artist: np.ndarray
+    artist_song_ids: np.ndarray
+    artist_num_songs: np.ndarray
+    splits: dict[str, np.ndarray]
+    artist_names: list[str] = field(default_factory=list)
+    vocab: Vocab | None = None
+
+    @property
+    def max_len(self) -> int:
+        return int(self.songs.shape[1])
+
+    @property
+    def num_artists(self) -> int:
+        return int(self.artist_song_ids.shape[0])
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def pack(cls, items: list[tuple[str, str, list[int]]], vocab: Vocab,
+             max_len: int, seed: int = 0) -> "PackedCorpus":
+        """Pack (artist, song, ids) tuples; ids exclude BOS/EOS framing."""
+        artists = sorted({a for a, _, _ in items})
+        aidx = {a: i for i, a in enumerate(artists)}
+        n_songs = len(items)
+
+        songs = np.full((n_songs, max_len), PAD, np.int32)
+        song_len = np.zeros(n_songs, np.int32)
+        song_artist = np.zeros(n_songs, np.int32)
+        per_artist: dict[int, list[int]] = {i: [] for i in range(len(artists))}
+        for i, (a, _, ids) in enumerate(items):
+            framed = [BOS] + list(ids[: max_len - 2]) + [EOS]
+            songs[i, : len(framed)] = framed
+            song_len[i] = len(framed)
+            song_artist[i] = aidx[a]
+            per_artist[aidx[a]].append(i)
+
+        max_songs = max(len(v) for v in per_artist.values())
+        artist_song_ids = np.zeros((len(artists), max_songs), np.int32)
+        artist_num_songs = np.zeros(len(artists), np.int32)
+        for ai, ids in per_artist.items():
+            artist_song_ids[ai, : len(ids)] = ids
+            artist_num_songs[ai] = len(ids)
+
+        splits = make_splits(len(artists), seed)
+        return cls(songs, song_len, song_artist, artist_song_ids,
+                   artist_num_songs, splits, artists, vocab)
+
+    # -- io -------------------------------------------------------------------
+
+    def save(self, corpus_dir: str | Path) -> None:
+        d = Path(corpus_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            d / "corpus.npz", songs=self.songs, song_len=self.song_len,
+            song_artist=self.song_artist, artist_song_ids=self.artist_song_ids,
+            artist_num_songs=self.artist_num_songs,
+            **{f"split_{k}": v for k, v in self.splits.items()})
+        (d / "meta.json").write_text(json.dumps(
+            {"artist_names": self.artist_names}))
+        if self.vocab is not None:
+            self.vocab.save(d / "vocab.json")
+
+    @classmethod
+    def load(cls, corpus_dir: str | Path) -> "PackedCorpus":
+        d = Path(corpus_dir)
+        z = np.load(d / "corpus.npz")
+        splits = {k[len("split_"):]: z[k] for k in z.files
+                  if k.startswith("split_")}
+        meta = json.loads((d / "meta.json").read_text()) \
+            if (d / "meta.json").exists() else {}
+        vocab = Vocab.load(d / "vocab.json") \
+            if (d / "vocab.json").exists() else None
+        return cls(z["songs"], z["song_len"], z["song_artist"],
+                   z["artist_song_ids"], z["artist_num_songs"], splits,
+                   meta.get("artist_names", []), vocab)
+
+    def device_arrays(self) -> dict[str, "object"]:
+        """The arrays the on-device sampler needs, as a pytree for device_put."""
+        return {
+            "songs": self.songs,
+            "song_len": self.song_len,
+            "artist_song_ids": self.artist_song_ids,
+            "artist_num_songs": self.artist_num_songs,
+        }
+
+
+def make_splits(num_artists: int, seed: int = 0,
+                fracs: dict[str, float] = SPLIT_FRACS) -> dict[str, np.ndarray]:
+    """Deterministic artist-level split (reference split script, SURVEY §2)."""
+    perm = np.random.RandomState(seed).permutation(num_artists)
+    n_train = max(1, int(round(num_artists * fracs["train"])))
+    n_val = max(1, int(round(num_artists * fracs["val"])))
+    n_train = min(n_train, num_artists - 2) if num_artists >= 3 else n_train
+    return {
+        "train": np.sort(perm[:n_train]).astype(np.int32),
+        "val": np.sort(perm[n_train:n_train + n_val]).astype(np.int32),
+        "test": np.sort(perm[n_train + n_val:]).astype(np.int32)
+        if num_artists > n_train + n_val
+        else np.sort(perm[n_train:n_train + n_val]).astype(np.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Offline builders (CLI: scripts/prepare_data.py)
+# ---------------------------------------------------------------------------
+
+def build_lyrics_corpus(csv_path: str | Path, out_dir: str | Path,
+                        vocab_size: int, max_len: int,
+                        seed: int = 0) -> PackedCorpus:
+    rows = lyrics_mod.read_lyrics_csv(csv_path)
+    vocab, items = lyrics_mod.tokenize_corpus(rows, vocab_size)
+    corpus = PackedCorpus.pack(items, vocab, max_len, seed)
+    corpus.save(out_dir)
+    return corpus
+
+
+def build_midi_corpus(midi_root: str | Path, out_dir: str | Path,
+                      max_len: int, seed: int = 0) -> PackedCorpus:
+    """Walk per-artist `.mid` dirs -> event tokens -> packed corpus.
+
+    The MIDI event vocab is closed (midi.full_event_vocab), so no counting
+    pass is needed.
+    """
+    from fewshot.data.vocab import SPECIALS
+    vocab = Vocab(SPECIALS + midi_mod.full_event_vocab())
+    items: list[tuple[str, str, list[int]]] = []
+    root = Path(midi_root)
+    for adir in sorted(p for p in root.iterdir() if p.is_dir()):
+        for mid in sorted(adir.glob("*.mid")):
+            notes = midi_mod.parse_midi(mid)
+            if not notes:
+                continue
+            events = midi_mod.notes_to_events(notes)
+            items.append((adir.name, mid.stem, vocab.encode(events)))
+    corpus = PackedCorpus.pack(items, vocab, max_len, seed)
+    corpus.save(out_dir)
+    return corpus

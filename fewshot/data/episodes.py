@@ -1,0 +1,121 @@
+"""On-device episode sampling: PRNG key -> [B, K/Q, L] gathers, fully jitted.
+
+Reference equivalent (SURVEY.md §2 L2, §4.1): `EpisodeSampler.get_episode`,
+which the reference runs as a per-step Python loop over CSV rows — its main
+bottleneck (BASELINE.json:5).  Here the packed corpus lives in HBM and an
+episode is three XLA ops: artist choice, Gumbel-top-k song choice without
+replacement, and a `take` gather.  The sampler is vmapped over the meta-batch
+and fused into the train step, so episode assembly costs ~0 host time.
+
+Static-shape tricks (SURVEY.md §8 "hard parts" #1):
+  * without-replacement choice of K+Q songs = top-(K+Q) of per-slot Gumbel
+    noise, with slots >= artist_num_songs masked to -inf;
+  * artists with fewer than K+Q songs fall back to with-replacement draws
+    for the overflow ranks (the reference would simply never pick such an
+    artist; we keep shapes static instead);
+  * ragged song lengths ride along as `*_len` arrays; masks are derived
+    in the model (models/lm.py), not stored.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Episode(NamedTuple):
+    """One meta-batch of episodes (all int32, static shapes)."""
+    support: jax.Array      # [B, K, L]
+    support_len: jax.Array  # [B, K]
+    query: jax.Array        # [B, Q, L]
+    query_len: jax.Array    # [B, Q]
+    artist: jax.Array       # [B]
+
+
+class CorpusOnDevice(NamedTuple):
+    """The packed-corpus arrays after one-time device_put (HBM-resident)."""
+    songs: jax.Array             # [S, L]
+    song_len: jax.Array          # [S]
+    artist_song_ids: jax.Array   # [A, M]
+    artist_num_songs: jax.Array  # [A]
+
+
+def put_corpus(corpus) -> CorpusOnDevice:
+    """One-time HBM upload of a PackedCorpus (or its device_arrays dict)."""
+    d = corpus.device_arrays() if hasattr(corpus, "device_arrays") else corpus
+    return CorpusOnDevice(
+        songs=jnp.asarray(d["songs"], jnp.int32),
+        song_len=jnp.asarray(d["song_len"], jnp.int32),
+        artist_song_ids=jnp.asarray(d["artist_song_ids"], jnp.int32),
+        artist_num_songs=jnp.asarray(d["artist_num_songs"], jnp.int32),
+    )
+
+
+def _sample_one(key: jax.Array, data: CorpusOnDevice, split_artists: jax.Array,
+                n_songs: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One episode's song ids: (song_ids [n_songs], lengths, artist)."""
+    k_artist, k_gumbel, k_fallback = jax.random.split(key, 3)
+    artist = split_artists[
+        jax.random.randint(k_artist, (), 0, split_artists.shape[0])]
+    row = data.artist_song_ids[artist]                     # [M]
+    n = data.artist_num_songs[artist]                      # scalar
+    m = row.shape[0]
+
+    # Gumbel top-k = uniform sample of n_songs distinct valid slots.
+    gumbel = jax.random.gumbel(k_gumbel, (m,))
+    scores = jnp.where(jnp.arange(m) < n, gumbel, -jnp.inf)
+    _, slots = jax.lax.top_k(scores, n_songs)              # [n_songs]
+
+    # Overflow ranks (artist has < n_songs songs): draw with replacement.
+    fallback = jax.random.randint(k_fallback, (n_songs,), 0,
+                                  jnp.maximum(n, 1))
+    slots = jnp.where(jnp.arange(n_songs) < n, slots, fallback)
+
+    song_ids = row[slots]
+    return song_ids, data.song_len[song_ids], artist
+
+
+@partial(jax.jit, static_argnames=("batch_size", "k", "q"))
+def sample_episode(key: jax.Array, data: CorpusOnDevice,
+                   split_artists: jax.Array, batch_size: int | None = None,
+                   *, k: int, q: int) -> Episode:
+    """Sample a meta-batch of episodes entirely on device.
+
+    `key` may be a single PRNG key (batch_size must be given) or a [B, 2]
+    batch of keys.  Returns an Episode with support [B,k,L], query [B,q,L].
+    """
+    if key.ndim == 1:
+        keys = jax.random.split(key, batch_size)
+    else:
+        keys = key
+    song_ids, lens, artists = jax.vmap(
+        lambda kk: _sample_one(kk, data, split_artists, k + q))(keys)
+    tokens = data.songs[song_ids]                          # [B, k+q, L]
+    return Episode(
+        support=tokens[:, :k], support_len=lens[:, :k],
+        query=tokens[:, k:], query_len=lens[:, k:], artist=artists)
+
+
+@partial(jax.jit, static_argnames=("batch_size",))
+def sample_lm_batch(key: jax.Array, data: CorpusOnDevice,
+                    song_pool: jax.Array,
+                    batch_size: int) -> tuple[jax.Array, jax.Array]:
+    """Plain (non-episodic) LM batch: B songs uniform over a split's pool.
+
+    Reference config #1 (BASELINE.json:7): plain word-LSTM LM, single split.
+    Returns (tokens [B, L], lengths [B]).
+    """
+    ids = song_pool[jax.random.randint(key, (batch_size,), 0,
+                                       song_pool.shape[0])]
+    return data.songs[ids], data.song_len[ids]
+
+
+def split_song_pool(corpus, split: str) -> np.ndarray:
+    """Host-side: all song ids whose artist belongs to `split`."""
+    artists = set(int(a) for a in corpus.splits[split])
+    mask = np.array([int(a) in artists for a in corpus.song_artist])
+    return np.nonzero(mask)[0].astype(np.int32)

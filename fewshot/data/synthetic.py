@@ -1,0 +1,109 @@
+"""Deterministic synthetic corpora for both modalities.
+
+The sandbox has no network and no scraped data (SURVEY.md §9), so the L0
+acquisition tier of the reference (lyrics + freemidi scrapers, SURVEY.md §2)
+is replaced by a seeded generator producing the SAME artifacts the scrapers
+would have: an (artist, song, lyrics) CSV and per-artist directories of real
+`.mid` files.  Every artist gets a distinct generative "style" (signature
+words / musical scale + register), so few-shot adaptation to an unseen
+artist's support set measurably lowers query NLL — the corpus is a real
+meta-learning task, not noise.
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import numpy as np
+
+from fewshot.data.midi import Note, write_midi
+
+_COMMON = ("the a my your in on of and i you we it to for with night day "
+           "heart time love never always gone away home road fire rain light "
+           "dark dream run stay go know feel see hold take give").split()
+_THEMES = [
+    "river stone mountain echo wild silver cold north wind hollow".split(),
+    "neon city subway velvet smoke midnight taxi skyline glass chrome".split(),
+    "honey summer peach golden barefoot porch sweet clover meadow sun".split(),
+    "ghost sorrow ashes winter grave pale mourning shadow bone frost".split(),
+    "engine highway gasoline thunder steel whiskey dust leather crow".split(),
+    "ocean salt sail horizon tide pearl drift harbor gull moon".split(),
+]
+
+
+def _artist_name(i: int) -> str:
+    return f"artist_{i:03d}"
+
+
+def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
+                        songs_per_artist: int = 16, seed: int = 0) -> None:
+    """Write an (artist, song, lyrics) CSV with per-artist word styles."""
+    rng = np.random.RandomState(seed)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        writer = csv.writer(f)
+        writer.writerow(["artist", "song", "lyrics"])
+        for a in range(num_artists):
+            theme = _THEMES[a % len(_THEMES)]
+            # Per-artist unigram mixture: mostly common words, but a heavy,
+            # artist-specific tilt onto its theme words.
+            mix = rng.dirichlet(np.ones(len(_COMMON)) * 2.0)
+            theme_w = rng.dirichlet(np.ones(len(theme)) * 2.0)
+            theme_rate = 0.35 + 0.2 * rng.rand()
+            for s in range(songs_per_artist):
+                n_lines = rng.randint(6, 12)
+                lines = []
+                for _ in range(n_lines):
+                    n_words = rng.randint(4, 9)
+                    words = []
+                    for _ in range(n_words):
+                        if rng.rand() < theme_rate:
+                            words.append(theme[rng.choice(len(theme),
+                                                          p=theme_w)])
+                        else:
+                            words.append(_COMMON[rng.choice(len(_COMMON),
+                                                            p=mix)])
+                    lines.append(" ".join(words))
+                writer.writerow([_artist_name(a), f"song_{s:03d}",
+                                 " / ".join(lines)])
+
+
+_SCALES = {  # semitone offsets within an octave
+    "major": [0, 2, 4, 5, 7, 9, 11],
+    "minor": [0, 2, 3, 5, 7, 8, 10],
+    "pent": [0, 3, 5, 7, 10],
+}
+
+
+def generate_midi_corpus(root: str | Path, num_artists: int = 24,
+                         songs_per_artist: int = 16, seed: int = 0) -> None:
+    """Write per-artist directories of `.mid` files with per-artist styles."""
+    rng = np.random.RandomState(seed + 1)
+    root = Path(root)
+    scale_names = list(_SCALES)
+    for a in range(num_artists):
+        adir = root / _artist_name(a)
+        adir.mkdir(parents=True, exist_ok=True)
+        key = rng.randint(0, 12)
+        scale = _SCALES[scale_names[a % len(scale_names)]]
+        register = rng.randint(48, 68)          # artist's pitch center
+        vel_center = rng.randint(40, 100)
+        tempo_grid = rng.choice([0.125, 0.25, 0.375])  # note spacing (s)
+        for s in range(songs_per_artist):
+            n_notes = rng.randint(24, 48)
+            t = 0.0
+            deg = rng.randint(0, len(scale))
+            notes = []
+            for _ in range(n_notes):
+                deg = (deg + rng.randint(-2, 3)) % len(scale)
+                octave = rng.choice([-12, 0, 0, 0, 12])
+                pitch = int(np.clip(register + key + scale[deg] + octave,
+                                    21, 108))
+                dur = tempo_grid * rng.choice([1, 1, 2, 2, 4])
+                vel = int(np.clip(vel_center + rng.randint(-12, 13), 1, 127))
+                notes.append(Note(start=t, end=t + dur, pitch=pitch,
+                                  velocity=vel))
+                t += tempo_grid * rng.choice([1, 1, 1, 2])
+            write_midi(notes, adir / f"song_{s:03d}.mid")

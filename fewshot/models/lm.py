@@ -1,0 +1,212 @@
+"""Language-model head + masked NLL + episodic conditioning.
+
+Reference equivalent (SURVEY.md §4.5): embedding_lookup -> backbone -> dense
+softmax -> sparse CE masked by pad, mean over non-pad QUERY tokens — the
+headline metric (BASELINE.json:2).  The masking semantics here are the parity-
+critical part (SURVEY.md §8 hard-part #1): with a song framed as
+[BOS, w1..wn, EOS, PAD...] of true length len, position t predicts token t+1,
+so exactly (len-1) target positions are real; NLL is the sum of their CE
+divided by their count, never counting PAD or support tokens.
+
+Episodic conditioning (SURVEY.md §1):
+  * LSTM, support_mode="state": the K support songs are concatenated along
+    time (PAD steps carry state through — see models/lstm.py masking) and the
+    final (h, c) primes the query-song recurrence, broadcast over the Q
+    query songs of the episode.
+  * Transformer: the support concat becomes an attention PREFIX whose K/V are
+    computed once per episode and shared by all Q query songs
+    (models/transformer.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fewshot.data.episodes import Episode
+from fewshot.models import lstm as lstm_mod
+from fewshot.models import transformer as tfm_mod
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
+    k_embed, k_backbone, k_head = jax.random.split(key, 3)
+    e, h = cfg.embed_dim, cfg.hidden_dim
+    params: dict = {
+        "embed": jax.random.normal(k_embed, (vocab_size, e),
+                                   jnp.float32) * 0.02,
+    }
+    if cfg.model == "lstm":
+        params["lstm"] = lstm_mod.init_lstm_params(k_backbone, e, h,
+                                                   cfg.num_layers)
+        out_dim = h
+    else:
+        params["transformer"] = tfm_mod.init_transformer_params(
+            k_backbone, cfg)
+        out_dim = e
+    if cfg.tie_embeddings:
+        if out_dim != e:
+            params["out_proj"] = jax.nn.initializers.glorot_uniform()(
+                k_head, (out_dim, e), jnp.float32)
+    else:
+        params["out_w"] = jax.nn.initializers.glorot_uniform()(
+            k_head, (out_dim, vocab_size), jnp.float32)
+    params["out_b"] = jnp.zeros((vocab_size,), jnp.float32)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# head
+# ---------------------------------------------------------------------------
+
+def head_logits(params: dict, hidden: jax.Array, cfg) -> jax.Array:
+    """hidden [..., H] -> logits [..., V]; fp32 softmax path for parity."""
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.tie_embeddings:
+        if "out_proj" in params:
+            hidden = jnp.dot(hidden.astype(dt), params["out_proj"].astype(dt),
+                             preferred_element_type=jnp.float32)
+        logits = jnp.dot(hidden.astype(dt), params["embed"].T.astype(dt),
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(hidden.astype(dt), params["out_w"].astype(dt),
+                         preferred_element_type=jnp.float32)
+    return logits + params["out_b"]
+
+
+def embed(params: dict, tokens: jax.Array) -> jax.Array:
+    return params["embed"][tokens]
+
+
+# ---------------------------------------------------------------------------
+# plain LM forward + loss (config #1, BASELINE.json:7)
+# ---------------------------------------------------------------------------
+
+def lm_logits(params: dict, tokens: jax.Array, cfg,
+              mask: jax.Array | None = None, state=None):
+    """tokens [B, T] -> (logits [B, T, V], final_state).
+
+    For the transformer, `state` must be None (use sampling.py's KV-cache
+    decoder for incremental decoding).
+    """
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = embed(params, tokens)
+    if cfg.model == "lstm":
+        hidden, state = lstm_mod.lstm_forward(
+            params["lstm"], x, mask=mask, state=state, compute_dtype=dt,
+            cell=cfg.cell)
+    else:
+        hidden = tfm_mod.transformer_forward(params["transformer"], x, mask,
+                                             cfg)
+        state = None
+    return head_logits(params, hidden, cfg), state
+
+
+def token_nll(logits: jax.Array, targets: jax.Array,
+              mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(sum CE over masked positions, count).  fp32 log-softmax."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = mask.astype(jnp.float32)
+    return jnp.sum(ce * mask), jnp.sum(mask)
+
+
+def sequence_nll(logits: jax.Array, targets: jax.Array,
+                 mask: jax.Array) -> jax.Array:
+    """Masked mean NLL/token (the headline metric)."""
+    total, count = token_nll(logits, targets, mask)
+    return total / jnp.maximum(count, 1.0)
+
+
+def shift_targets(tokens: jax.Array,
+                  lengths: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(inputs [.., T-1], targets [.., T-1], mask [.., T-1]).
+
+    Position t is real iff t < len-1 (predicting tokens 1..len-1)."""
+    inputs = tokens[..., :-1]
+    targets = tokens[..., 1:]
+    t = tokens.shape[-1] - 1
+    mask = jnp.arange(t) < (lengths[..., None] - 1)
+    return inputs, targets, mask
+
+
+def lm_nll_stats(params: dict, tokens: jax.Array, lengths: jax.Array,
+                 cfg) -> tuple[jax.Array, jax.Array]:
+    """(sum CE, token count) on a [B, T] batch — exact aggregation across
+    eval batches and across chips (psum both, divide once)."""
+    inputs, targets, mask = shift_targets(tokens, lengths)
+    logits, _ = lm_logits(params, inputs, cfg, mask=mask)
+    return token_nll(logits, targets, mask)
+
+
+def lm_nll(params: dict, tokens: jax.Array, lengths: jax.Array,
+           cfg) -> jax.Array:
+    """Plain LM loss on a [B, T] batch of songs."""
+    total, count = lm_nll_stats(params, tokens, lengths, cfg)
+    return total / jnp.maximum(count, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# episodic forward + loss (configs #2-#4)
+# ---------------------------------------------------------------------------
+
+def support_state(params: dict, support: jax.Array, support_len: jax.Array,
+                  cfg):
+    """LSTM: run the support concat, return the priming per-layer (h, c).
+
+    support [B, K, L] -> time-concat [B, K*L]; PAD steps are masked so state
+    flows untouched across inter-song padding.
+    """
+    b, k_, l_ = support.shape
+    flat = support.reshape(b, k_ * l_)
+    mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x = embed(params, flat)
+    _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
+                                     compute_dtype=dt, cell=cfg.cell)
+    return state
+
+
+def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
+    """Query-set NLL/token for a meta-batch of episodes (the metric)."""
+    total, count = episodic_nll_stats(params, ep, cfg)
+    return total / jnp.maximum(count, 1.0)
+
+
+def episodic_nll_stats(params: dict, ep: Episode,
+                       cfg) -> tuple[jax.Array, jax.Array]:
+    """(sum CE over query tokens, query token count) for a meta-batch."""
+    b, q_, l_ = ep.query.shape
+    inputs, targets, mask = shift_targets(ep.query, ep.query_len)
+    flat_inputs = inputs.reshape(b * q_, l_ - 1)
+    flat_mask = mask.reshape(b * q_, l_ - 1)
+
+    if cfg.model == "lstm":
+        state = None
+        if cfg.support_mode == "state":
+            state = support_state(params, ep.support, ep.support_len, cfg)
+            # Broadcast each episode's state over its Q query songs.
+            state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
+                     for h, c in state]
+        logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
+                              state=state)
+    else:
+        if cfg.support_mode == "state":
+            bk, k_, sl = ep.support.shape
+            prefix = ep.support.reshape(b, k_ * sl)
+            prefix_mask = (jnp.arange(sl) <
+                           ep.support_len[..., None]).reshape(b, k_ * sl)
+            hidden = tfm_mod.transformer_prefix_forward(
+                params["transformer"], embed(params, prefix), prefix_mask,
+                embed(params, flat_inputs).reshape(b, q_, l_ - 1, -1),
+                mask, cfg)
+            logits = head_logits(params, hidden.reshape(b * q_, l_ - 1, -1),
+                                 cfg)
+        else:
+            logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask)
+
+    return token_nll(logits, targets.reshape(b * q_, l_ - 1), flat_mask)

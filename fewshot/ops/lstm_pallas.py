@@ -1,0 +1,281 @@
+"""Fused Pallas LSTM recurrence (forward + custom-VJP backward).
+
+The hot op of the framework (BASELINE.json:5 "fused Pallas scan cell").
+Factoring (SURVEY.md §8 hard-part #3): the input projection x @ Wx for ALL
+timesteps is one large MXU matmul done OUTSIDE the kernel by XLA (it also
+carries the dWx/dx gradients for free); only the inherently sequential part
+— per-step h @ Wh + gate nonlinearities + masked state update — lives in the
+kernel.
+
+Kernel structure: grid = (T,), which Mosaic executes sequentially on a TPU
+core; (h, c) live in VMEM scratch that persists across grid steps, Wh stays
+VMEM-resident (its BlockSpec index is constant), and the per-step zx/mask/ys
+blocks are streamed HBM<->VMEM by the automatic pipeline (double-buffered).
+So the recurrence never touches HBM for state and issues exactly one
+[B,H]x[H,4H] MXU matmul per step.
+
+Backward: recompute-gates BPTT as a second Pallas kernel running the grid in
+reverse (index_map t -> T-1-t).  Residuals are the forward's (h, c)
+sequences; gate activations are recomputed from them (one extra matmul per
+step) instead of being materialized — same trade as flash attention.
+
+Constraint: hidden_dim % 128 == 0 (lane-aligned gate slicing).  The scan
+cell (models/lstm.py) is the fallback for other shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FORGET_BIAS = 1.0
+
+
+def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
+                ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_sc[:] = h0_ref[:]
+        c_sc[:] = c0_ref[:]
+
+    h, c = h_sc[:], c_sc[:]
+    hidden = h.shape[-1]
+    z = zx_ref[0] + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                            preferred_element_type=jnp.float32) + b_ref[:]
+    i = z[:, :hidden]
+    j = z[:, hidden:2 * hidden]
+    f = z[:, 2 * hidden:3 * hidden]
+    o = z[:, 3 * hidden:]
+    new_c = jax.nn.sigmoid(f + FORGET_BIAS) * c + \
+        jax.nn.sigmoid(i) * jnp.tanh(j)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    m = mask_ref[0]
+    h_sc[:] = jnp.where(m > 0, new_h, h)
+    c_sc[:] = jnp.where(m > 0, new_c, c)
+    ys_ref[0] = h_sc[:]
+    cs_ref[0] = c_sc[:]
+
+    @pl.when(t == n_t - 1)
+    def _():
+        hT_ref[:] = h_sc[:]
+        cT_ref[:] = c_sc[:]
+
+
+def _fwd_call(zx, wh, b, mask, h0, c0):
+    t_, b_, four_h = zx.shape
+    hidden = four_h // 4
+    f32 = jnp.float32
+    step_specs = dict(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(t_,),
+        in_specs=[
+            pl.BlockSpec((1, b_, four_h), lambda t: (t, 0, 0), **step_specs),
+            pl.BlockSpec((hidden, four_h), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((1, four_h), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((1, b_, 1), lambda t: (t, 0, 0), **step_specs),
+            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b_, hidden), lambda t: (t, 0, 0), **step_specs),
+            pl.BlockSpec((1, b_, hidden), lambda t: (t, 0, 0), **step_specs),
+            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_, b_, hidden), f32),
+            jax.ShapeDtypeStruct((t_, b_, hidden), f32),
+            jax.ShapeDtypeStruct((b_, hidden), f32),
+            jax.ShapeDtypeStruct((b_, hidden), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_, hidden), f32),
+            pltpu.VMEM((b_, hidden), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_ * b_ * hidden * four_h,
+            bytes_accessed=4 * (t_ * b_ * (four_h + 2 * hidden)
+                                + hidden * four_h),
+            transcendentals=4 * t_ * b_ * hidden,
+        ),
+    )(zx, wh, b[None], mask, h0, c0)
+    return out  # ys, cs, hT, cT
+
+
+def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
+                dys_ref, dhT_ref, dcT_ref,
+                dzx_ref, dwh_ref, db_ref, dh0_ref, dc0_ref,
+                dh_sc, dc_sc, dwh_sc, db_sc):
+    """Reverse-time step: program p handles t = T-1-p (index maps flip)."""
+    p = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    hidden = dh_sc.shape[-1]
+
+    @pl.when(p == 0)
+    def _():
+        dh_sc[:] = dhT_ref[:]
+        dc_sc[:] = dcT_ref[:]
+        dwh_sc[:] = jnp.zeros_like(dwh_sc)
+        db_sc[:] = jnp.zeros_like(db_sc)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    m = (mask_ref[0] > 0)
+
+    # Recompute gate pre-activations for this step.
+    z = zx_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[:],
+                            preferred_element_type=jnp.float32) + b_ref[:]
+    si = jax.nn.sigmoid(z[:, :hidden])
+    tj = jnp.tanh(z[:, hidden:2 * hidden])
+    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
+    so = jax.nn.sigmoid(z[:, 3 * hidden:])
+    new_c = sf * c_prev + si * tj          # pre-mask cell value
+    tc = jnp.tanh(new_c)
+
+    dh = dys_ref[0] + dh_sc[:]
+    dc = dc_sc[:]
+    mf = m.astype(jnp.float32)
+    d_new_h = mf * dh
+    d_new_c = d_new_h * so * (1.0 - tc * tc) + mf * dc
+
+    di = d_new_c * tj * si * (1.0 - si)
+    dj = d_new_c * si * (1.0 - tj * tj)
+    df = d_new_c * c_prev * sf * (1.0 - sf)
+    do = d_new_h * tc * so * (1.0 - so)
+    dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [B, 4H]
+
+    dzx_ref[0] = dz
+    dwh_sc[:] += jax.lax.dot_general(
+        h_prev.astype(dz.dtype), dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_sc[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+    dh_prev = jax.lax.dot_general(
+        dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) + (1.0 - mf) * dh
+    dc_prev = d_new_c * sf + (1.0 - mf) * dc
+    dh_sc[:] = dh_prev
+    dc_sc[:] = dc_prev
+
+    @pl.when(p == n_t - 1)
+    def _():
+        dwh_ref[:] = dwh_sc[:]
+        db_ref[:] = db_sc[:]
+        dh0_ref[:] = dh_sc[:]
+        dc0_ref[:] = dc_sc[:]
+
+
+def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
+    t_, b_, four_h = zx.shape
+    hidden = four_h // 4
+    f32 = jnp.float32
+    kw = dict(memory_space=pltpu.VMEM)
+    rev = lambda p: (t_ - 1 - p, 0, 0)        # noqa: E731
+    const2 = lambda p: (0, 0)                 # noqa: E731
+    out = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t_,),
+        in_specs=[
+            pl.BlockSpec((1, b_, four_h), rev, **kw),      # zx
+            pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
+            pl.BlockSpec((1, four_h), const2, **kw),       # b
+            pl.BlockSpec((1, b_, 1), rev, **kw),           # mask
+            pl.BlockSpec((1, b_, hidden), rev, **kw),      # h_prev
+            pl.BlockSpec((1, b_, hidden), rev, **kw),      # c_prev
+            pl.BlockSpec((1, b_, hidden), rev, **kw),      # dys
+            pl.BlockSpec((b_, hidden), const2, **kw),      # dhT
+            pl.BlockSpec((b_, hidden), const2, **kw),      # dcT
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b_, four_h), rev, **kw),      # dzx
+            pl.BlockSpec((hidden, four_h), const2, **kw),  # dwh
+            pl.BlockSpec((1, four_h), const2, **kw),       # db
+            pl.BlockSpec((b_, hidden), const2, **kw),      # dh0
+            pl.BlockSpec((b_, hidden), const2, **kw),      # dc0
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_, b_, four_h), f32),
+            jax.ShapeDtypeStruct((hidden, four_h), f32),
+            jax.ShapeDtypeStruct((1, four_h), f32),
+            jax.ShapeDtypeStruct((b_, hidden), f32),
+            jax.ShapeDtypeStruct((b_, hidden), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_, hidden), f32),
+            pltpu.VMEM((b_, hidden), f32),
+            pltpu.VMEM((hidden, four_h), f32),
+            pltpu.VMEM((1, four_h), f32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * t_ * b_ * hidden * four_h,
+            bytes_accessed=4 * t_ * b_ * (2 * four_h + 5 * hidden),
+            transcendentals=4 * t_ * b_ * hidden,
+        ),
+    )(zx, wh, b[None], mask, h_prev_seq, c_prev_seq, dys, dhT, dcT)
+    return out  # dzx, dwh, db, dh0, dc0
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def lstm_scan_pallas(zx, wh, b, mask, h0, c0):
+    """Fused recurrence.  zx [T,B,4H] fp32, mask [T,B,1] fp32 (1=real step).
+
+    Returns (ys [T,B,H], hT [B,H], cT [B,H])."""
+    ys, _cs, hT, cT = _fwd_call(zx, wh, b, mask, h0, c0)
+    return ys, hT, cT
+
+
+def _vjp_fwd(zx, wh, b, mask, h0, c0):
+    ys, cs, hT, cT = _fwd_call(zx, wh, b, mask, h0, c0)
+    return (ys, hT, cT), (zx, wh, b, mask, h0, c0, ys, cs)
+
+
+def _vjp_bwd(res, grads):
+    zx, wh, b, mask, h0, c0, ys, cs = res
+    dys, dhT, dcT = grads
+    h_prev_seq = jnp.concatenate([h0[None], ys[:-1]], axis=0)
+    c_prev_seq = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    dzx, dwh, db, dh0, dc0 = _bwd_call(zx, wh, b, mask, h_prev_seq,
+                                       c_prev_seq, dys, dhT, dcT)
+    return (dzx, dwh.astype(wh.dtype), db[0], jnp.zeros_like(mask),
+            dh0, dc0)
+
+
+lstm_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# models/lstm.py layer adapter
+# ---------------------------------------------------------------------------
+
+def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
+    """Drop-in replacement for models.lstm._layer_scan (same signature)."""
+    b_, t_, _ = x.shape
+    hidden = layer["wh"].shape[0]
+    if hidden % 128:
+        raise ValueError(
+            f"cell='pallas' requires hidden_dim % 128 == 0, got {hidden}")
+    zx = jnp.dot(x.astype(compute_dtype), layer["wx"].astype(compute_dtype),
+                 preferred_element_type=jnp.float32)       # [B, T, 4H]
+    zx_t = jnp.swapaxes(zx, 0, 1)                          # [T, B, 4H]
+    if mask is None:
+        mask_t = jnp.ones((t_, b_, 1), jnp.float32)
+    else:
+        mask_t = jnp.swapaxes(mask, 0, 1)[..., None].astype(jnp.float32)
+    h0, c0 = h0c0
+    wh = layer["wh"].astype(compute_dtype)
+    ys, hT, cT = lstm_scan_pallas(zx_t, wh, layer["b"], mask_t,
+                                  h0.astype(jnp.float32),
+                                  c0.astype(jnp.float32))
+    return jnp.swapaxes(ys, 0, 1), (hT, cT)

@@ -1,0 +1,111 @@
+"""Few-shot generation: support-primed ancestral/top-k sampling, on device.
+
+Reference equivalent (SURVEY.md §4.3): the original primes the LSTM on the
+support set then does ONE `sess.run` + host softmax + numpy choice PER TOKEN.
+Here the whole continuation is a single `lax.scan` inside one jitted program
+(BASELINE.json:5 "no host round-trips per token"): the carry holds the model
+state (LSTM (h, c) or transformer KV cache), the current token, and the PRNG
+key; temperature and top-k filtering run on the fp32 logits in-carry via
+`jax.lax.top_k`.
+
+Semantics (matching the reference's sampler):
+  * temperature scales logits BEFORE top-k truncation;
+  * top_k == 0 means full ancestral sampling;
+  * generation starts from BOS after the support prime and stops emitting at
+    EOS — positions after EOS are PAD so detokenizers can ignore them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fewshot.data.vocab import BOS, EOS, PAD
+from fewshot.models import lm as lm_mod
+from fewshot.models import lstm as lstm_mod
+from fewshot.models import transformer as tfm_mod
+
+
+def filtered_sample(key: jax.Array, logits: jax.Array, temperature: float,
+                    top_k: int) -> jax.Array:
+    """Sample token ids [B] from logits [B, V] with temperature + top-k."""
+    logits = logits.astype(jnp.float32)
+    if temperature != 1.0:
+        logits = logits / jnp.float32(max(temperature, 1e-6))
+    if top_k > 0 and top_k < logits.shape[-1]:
+        vals, _ = jax.lax.top_k(logits, top_k)
+        logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
+                key: jax.Array, cfg, n_tokens: int) -> jax.Array:
+    """LSTM few-shot continuation.  support [B, K, L] -> tokens [B, n]."""
+    b = support.shape[0]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.support_mode == "state":
+        state = lm_mod.support_state(params, support, support_len, cfg)
+    else:
+        state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
+
+    def step(carry, _):
+        state, tok, done, key = carry
+        key, sub = jax.random.split(key)
+        x = lm_mod.embed(params, tok)
+        h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
+        logits = lm_mod.head_logits(params, h, cfg)
+        nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
+        nxt = jnp.where(done, PAD, nxt)
+        out = nxt
+        done = done | (nxt == EOS)
+        return (state, nxt, done, key), out
+
+    init = (state, jnp.full((b,), BOS, jnp.int32),
+            jnp.zeros((b,), jnp.bool_), key)
+    _, toks = jax.lax.scan(step, init, None, length=n_tokens)
+    return jnp.swapaxes(toks, 0, 1)                     # [B, n]
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_tokens"))
+def sample_transformer(params: dict, support: jax.Array,
+                       support_len: jax.Array, key: jax.Array, cfg,
+                       n_tokens: int) -> jax.Array:
+    """Transformer few-shot continuation via prefix KV-cache decode."""
+    b, k_, l_ = support.shape
+    prefix_len = k_ * l_ if cfg.support_mode == "state" else 0
+    max_len = prefix_len + n_tokens + 1
+    cache = tfm_mod.init_kv_cache(cfg, b, max_len)
+    tparams = params["transformer"]
+    if cfg.support_mode == "state":
+        flat = support.reshape(b, prefix_len)
+        mask = (jnp.arange(l_) < support_len[..., None]).reshape(b,
+                                                                 prefix_len)
+        cache = tfm_mod.prefill(tparams, lm_mod.embed(params, flat), mask,
+                                cache, cfg)
+
+    def step(carry, i):
+        cache, tok, done, key = carry
+        key, sub = jax.random.split(key)
+        x = lm_mod.embed(params, tok)
+        h, cache = tfm_mod.transformer_step(tparams, x, cache,
+                                            prefix_len + i, cfg)
+        logits = lm_mod.head_logits(params, h, cfg)
+        nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
+        nxt = jnp.where(done, PAD, nxt)
+        done = done | (nxt == EOS)
+        return (cache, nxt, done, key), nxt
+
+    init = (cache, jnp.full((b,), BOS, jnp.int32),
+            jnp.zeros((b,), jnp.bool_), key)
+    _, toks = jax.lax.scan(step, init, jnp.arange(n_tokens))
+    return jnp.swapaxes(toks, 0, 1)
+
+
+def generate(params: dict, support: jax.Array, support_len: jax.Array,
+             key: jax.Array, cfg, n_tokens: int | None = None) -> jax.Array:
+    n = n_tokens if n_tokens is not None else cfg.sample_tokens
+    fn = sample_lstm if cfg.model == "lstm" else sample_transformer
+    return fn(params, support, support_len, key, cfg, n)

@@ -1,0 +1,144 @@
+"""Training core: optimizer, TrainState, fused sample+grad+update steps.
+
+Reference equivalent (SURVEY.md §4.1): the hot loop's
+`sampler.get_episode(); model.train(episode)` pair.  Here BOTH halves live in
+one XLA program: the on-device episode sampler (data/episodes.py) is traced
+into the train step, so a training step is a single device dispatch with no
+per-step host work at all.
+
+Multi-chip (SURVEY.md §3 "parallelism"): episode-level data parallelism via
+`shard_map` over a 1-D `data` mesh — each chip samples its own B/n_chips
+episodes from its own fold of the PRNG key, computes local (grad, loss-sum,
+token-count), and `psum`s all three over ICI.  Loss normalization divides the
+psum'd CE sum by the psum'd token count, so ragged masking stays exact under
+sharding.  See fewshot/parallel/mesh.py for mesh construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fewshot.data.episodes import (CorpusOnDevice, sample_episode,
+                                   sample_lm_batch)
+from fewshot.models import lm as lm_mod
+from fewshot.parallel.mesh import make_mesh, shard_step
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array      # int32 scalar
+    key: jax.Array       # PRNG key consumed by the in-step episode sampler
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    if cfg.warmup_steps > 0:
+        lr = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    else:
+        lr = cfg.lr
+    if cfg.optimizer == "adam":
+        opt = (optax.adamw(lr, weight_decay=cfg.weight_decay)
+               if cfg.weight_decay > 0 else optax.adam(lr))
+    else:
+        opt = optax.sgd(lr)
+    if cfg.grad_clip > 0:
+        return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
+
+
+def init_train_state(cfg, vocab_size: int, seed: int | None = None
+                     ) -> TrainState:
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    k_init, k_run = jax.random.split(key)
+    params = lm_mod.init_lm(k_init, cfg, vocab_size)
+    opt_state = make_optimizer(cfg).init(params)
+    return TrainState(params, opt_state, jnp.int32(0), k_run)
+
+
+def _loss_stats(params, cfg, data: CorpusOnDevice, split_artists, key,
+                batch_size: int):
+    """Sample a batch/episodes on device and return (ce_sum, token_count)."""
+    if cfg.task == "episodic":
+        ep = sample_episode(key, data, split_artists, batch_size,
+                            k=cfg.support_size, q=cfg.query_size)
+        return lm_mod.episodic_nll_stats(params, ep, cfg)
+    tokens, lengths = sample_lm_batch(key, data, split_artists, batch_size)
+    return lm_mod.lm_nll_stats(params, tokens, lengths, cfg)
+
+
+def make_train_step(cfg, data: CorpusOnDevice, split_artists):
+    """Build the fused train step.  `split_artists` is the train split's
+    artist-id array (or the song pool for task="lm")."""
+    opt = make_optimizer(cfg)
+    mesh = make_mesh() if cfg.data_parallel else None
+    n_shards = mesh.devices.size if mesh is not None else 1
+    if cfg.batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {n_shards} chips")
+    local_batch = cfg.batch_size // n_shards
+
+    def local_grads(params, key):
+        def loss_fn(p):
+            total, count = _loss_stats(p, cfg, data, split_artists, key,
+                                       local_batch)
+            return total, count
+        (total, count), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, total, count
+
+    def apply(state: TrainState, grads, total, count) -> tuple[TrainState,
+                                                               dict]:
+        # grads are CE sums; normalize by the global token count.
+        inv = 1.0 / jnp.maximum(count, 1.0)
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_key = jax.random.fold_in(state.key, state.step)
+        metrics = {"loss": total * inv,
+                   "tokens": count,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1, new_key), metrics
+
+    if mesh is None:
+        @jax.jit
+        def train_step(state: TrainState):
+            grads, total, count = local_grads(state.params, state.key)
+            return apply(state, grads, total, count)
+        return train_step
+
+    sharded = shard_step(mesh, local_grads)
+
+    @jax.jit
+    def train_step(state: TrainState):
+        grads, total, count = sharded(state.params, state.key)
+        return apply(state, grads, total, count)
+
+    return train_step
+
+
+def make_eval_step(cfg, data: CorpusOnDevice, split_artists):
+    """Jitted eval: (params, key) -> (ce_sum, token_count) on one batch."""
+    @jax.jit
+    def eval_step(params, key):
+        return _loss_stats(params, cfg, data, split_artists, key,
+                           cfg.batch_size)
+    return eval_step
+
+
+def evaluate(cfg, params, data: CorpusOnDevice, split_artists, key,
+             num_episodes: int | None = None) -> float:
+    """Average query NLL/token over N eval episodes (SURVEY.md §4.2)."""
+    n = num_episodes if num_episodes is not None else cfg.eval_episodes
+    step = make_eval_step(cfg, data, split_artists)
+    n_batches = max(1, n // cfg.batch_size)
+    total, count = 0.0, 0.0
+    for i in range(n_batches):
+        t, c = step(params, jax.random.fold_in(key, i))
+        total += float(t)
+        count += float(c)
+    return total / max(count, 1.0)

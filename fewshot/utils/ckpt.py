@@ -1,0 +1,66 @@
+"""Checkpoint/resume via Orbax: params + opt state + step + PRNG key.
+
+Reference equivalent (SURVEY.md §6 "Checkpoint / resume"): tf.train.Saver
+save/restore into --checkpt_dir with the recover_or_init pattern at model
+construction.  Same surface here; additionally a vocab content-hash is stored
+so restoring against a different corpus fails loudly instead of silently
+emitting garbage ids.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+from fewshot.training import TrainState
+
+
+def _manager(ckpt_dir: str | Path, max_to_keep: int = 3
+             ) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        Path(ckpt_dir).absolute(),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_checkpoint(ckpt_dir: str | Path, state: TrainState,
+                    vocab_hash: str = "") -> None:
+    d = Path(ckpt_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "meta.json").write_text(json.dumps({"vocab_hash": vocab_hash}))
+    with _manager(d) as mgr:
+        mgr.save(int(state.step), args=ocp.args.StandardSave(state._asdict()))
+        mgr.wait_until_finished()
+
+
+def recover_or_init(ckpt_dir: str | Path | None, init_state: TrainState,
+                    vocab_hash: str = "") -> tuple[TrainState, bool]:
+    """Restore the latest checkpoint if present, else the given init state.
+
+    Returns (state, restored).  Mirrors the reference's recover_or_init
+    (SURVEY.md §2 "TF session scaffold").
+    """
+    if ckpt_dir is None:
+        return init_state, False
+    d = Path(ckpt_dir)
+    if not d.exists():
+        return init_state, False
+    with _manager(d) as mgr:
+        latest = mgr.latest_step()
+        if latest is None:
+            return init_state, False
+        meta_path = d / "meta.json"
+        if vocab_hash and meta_path.exists():
+            stored = json.loads(meta_path.read_text()).get("vocab_hash", "")
+            if stored and stored != vocab_hash:
+                raise ValueError(
+                    f"checkpoint {d} was trained with a different vocab "
+                    f"(hash {stored} != {vocab_hash})")
+        abstract = jax.tree.map(
+            ocp.utils.to_shape_dtype_struct, init_state._asdict())
+        restored = mgr.restore(latest,
+                               args=ocp.args.StandardRestore(abstract))
+        return TrainState(**restored), True

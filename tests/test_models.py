@@ -1,0 +1,202 @@
+"""Model tier: LSTM masking/state semantics, NLL oracle, transformer
+causality + prefix/KV-cache consistency (SURVEY.md §5.2-5.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fewshot.config import Config
+from fewshot.data.episodes import Episode
+from fewshot.models import lm as lm_mod
+from fewshot.models import lstm as lstm_mod
+from fewshot.models import transformer as tfm_mod
+
+CFG_LSTM = Config(model="lstm", embed_dim=16, hidden_dim=24, num_layers=2,
+                  vocab_size=40, max_len=16, batch_size=4, support_size=2,
+                  query_size=2, data_parallel=False)
+CFG_TFM = Config(model="transformer", embed_dim=32, num_heads=4,
+                 num_layers=2, vocab_size=40, max_len=16, batch_size=4,
+                 support_size=2, query_size=2, data_parallel=False)
+
+
+# -- LSTM --------------------------------------------------------------------
+
+def test_lstm_mask_carries_state():
+    """PAD steps must leave (h, c) untouched — the support-priming invariant."""
+    key = jax.random.PRNGKey(0)
+    params = lstm_mod.init_lstm_params(key, 8, 12, 1)
+    x = jax.random.normal(key, (2, 10, 8))
+    full_mask = jnp.ones((2, 10), bool)
+    short_mask = jnp.arange(10) < 6
+
+    _, s_full = lstm_mod.lstm_forward(params, x, jnp.broadcast_to(
+        short_mask, (2, 10)))
+    # Same inputs truncated at 6 steps -> identical final state
+    _, s_trunc = lstm_mod.lstm_forward(params, x[:, :6],
+                                       jnp.ones((2, 6), bool))
+    for (h1, c1), (h2, c2) in zip(s_full, s_trunc):
+        np.testing.assert_allclose(h1, h2, atol=1e-6)
+        np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
+def test_lstm_step_matches_forward():
+    key = jax.random.PRNGKey(1)
+    params = lstm_mod.init_lstm_params(key, 8, 12, 2)
+    x = jax.random.normal(key, (3, 5, 8))
+    ys, state = lstm_mod.lstm_forward(params, x)
+    # replay with single steps
+    st = lstm_mod.zero_state(3, 12, 2)
+    for t in range(5):
+        h, st = lstm_mod.lstm_step(params, x[:, t], st)
+        np.testing.assert_allclose(h, ys[:, t], atol=1e-5)
+    for (h1, c1), (h2, c2) in zip(st, state):
+        np.testing.assert_allclose(h1, h2, atol=1e-5)
+
+
+def test_forget_bias_gate_order():
+    """With zero weights, c' = sigmoid(FORGET_BIAS)*c + 0.5*tanh(0)=sig(1)*c."""
+    params = [{"wx": jnp.zeros((4, 8 * 4)), "wh": jnp.zeros((8, 32)),
+               "b": jnp.zeros((32,))}]
+    h0 = jnp.zeros((1, 8))
+    c0 = jnp.ones((1, 8))
+    h, c = lstm_mod.lstm_gates(jnp.zeros((1, 32)), h0, c0,
+                               params[0]["wh"], params[0]["b"], jnp.float32)
+    np.testing.assert_allclose(c, jax.nn.sigmoid(1.0) * c0, atol=1e-6)
+
+
+# -- NLL oracle --------------------------------------------------------------
+
+def test_masked_nll_matches_numpy():
+    rng = np.random.RandomState(0)
+    logits = rng.randn(3, 7, 11).astype(np.float32)
+    targets = rng.randint(0, 11, (3, 7))
+    lengths = np.array([8, 3, 1])  # token seq lengths incl BOS/EOS
+    mask = np.arange(7)[None, :] < (lengths[:, None] - 1)
+
+    # numpy oracle
+    ex = np.exp(logits - logits.max(-1, keepdims=True))
+    logp = np.log(ex / ex.sum(-1, keepdims=True))
+    ce = -np.take_along_axis(logp, targets[..., None], -1)[..., 0]
+    want = (ce * mask).sum() / mask.sum()
+
+    got = lm_mod.sequence_nll(jnp.asarray(logits), jnp.asarray(targets),
+                              jnp.asarray(mask))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_shift_targets():
+    toks = jnp.array([[1, 5, 6, 2, 0, 0]])  # BOS w w EOS PAD PAD, len=4
+    inputs, targets, mask = lm_mod.shift_targets(toks, jnp.array([4]))
+    np.testing.assert_array_equal(np.asarray(inputs), [[1, 5, 6, 2, 0]])
+    np.testing.assert_array_equal(np.asarray(targets), [[5, 6, 2, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(mask),
+                                  [[True, True, True, False, False]])
+
+
+def test_episodic_nll_ignores_support_tokens():
+    """Loss must be computed on query tokens only: changing support CONTENT
+    changes the NLL only via the primed state, and support token count never
+    enters the normalizer."""
+    key = jax.random.PRNGKey(0)
+    params = lm_mod.init_lm(key, CFG_LSTM, CFG_LSTM.vocab_size)
+    b, k, q, L = 2, 2, 2, 10
+    rng = np.random.RandomState(1)
+    sup = jnp.asarray(rng.randint(4, 40, (b, k, L)))
+    qry = jnp.asarray(rng.randint(4, 40, (b, q, L)))
+    ep = Episode(sup, jnp.full((b, k), L), qry, jnp.full((b, q), L),
+                 jnp.zeros((b,), jnp.int32))
+    _, count = lm_mod.episodic_nll_stats(params, ep, CFG_LSTM)
+    assert float(count) == b * q * (L - 1)
+
+
+def test_support_mode_none_ignores_support():
+    cfg = Config(**{**CFG_LSTM.__dict__, "support_mode": "none"})
+    key = jax.random.PRNGKey(0)
+    params = lm_mod.init_lm(key, cfg, cfg.vocab_size)
+    rng = np.random.RandomState(1)
+    qry = jnp.asarray(rng.randint(4, 40, (2, 2, 10)))
+    qlen = jnp.full((2, 2), 10)
+    alen = jnp.zeros((2,), jnp.int32)
+    sup1 = jnp.asarray(rng.randint(4, 40, (2, 2, 10)))
+    sup2 = jnp.asarray(rng.randint(4, 40, (2, 2, 10)))
+    slen = jnp.full((2, 2), 10)
+    n1 = lm_mod.episodic_nll(params, Episode(sup1, slen, qry, qlen, alen), cfg)
+    n2 = lm_mod.episodic_nll(params, Episode(sup2, slen, qry, qlen, alen), cfg)
+    assert float(n1) == float(n2)
+
+
+# -- transformer -------------------------------------------------------------
+
+def test_transformer_causal():
+    key = jax.random.PRNGKey(0)
+    params = lm_mod.init_lm(key, CFG_TFM, CFG_TFM.vocab_size)
+    toks = jnp.asarray(np.random.RandomState(0).randint(4, 40, (1, 8)))
+    logits1, _ = lm_mod.lm_logits(params, toks, CFG_TFM)
+    toks2 = toks.at[0, 5].set(7)  # change a future token
+    logits2, _ = lm_mod.lm_logits(params, toks2, CFG_TFM)
+    np.testing.assert_allclose(np.asarray(logits1[0, :5]),
+                               np.asarray(logits2[0, :5]), atol=1e-4)
+    assert not np.allclose(np.asarray(logits1[0, 5:]),
+                           np.asarray(logits2[0, 5:]), atol=1e-4)
+
+
+def test_prefix_forward_matches_concat():
+    """Episodic prefix attention == running the full concat through the
+    plain forward (when nothing is padded)."""
+    cfg = CFG_TFM
+    key = jax.random.PRNGKey(2)
+    tparams = tfm_mod.init_transformer_params(key, cfg)
+    b, p, lq, e = 2, 6, 5, cfg.embed_dim
+    rng = np.random.RandomState(0)
+    prefix = jnp.asarray(rng.randn(b, p, e), jnp.float32)
+    query = jnp.asarray(rng.randn(b, 1, lq, e), jnp.float32)
+    pm = jnp.ones((b, p), bool)
+    qm = jnp.ones((b, 1, lq), bool)
+
+    got = tfm_mod.transformer_prefix_forward(tparams, prefix, pm, query,
+                                             qm, cfg)
+    full = tfm_mod.transformer_forward(
+        tparams, jnp.concatenate([prefix, query[:, 0]], axis=1), None, cfg)
+    np.testing.assert_allclose(np.asarray(got[:, 0]),
+                               np.asarray(full[:, p:]), atol=2e-4)
+
+
+def test_kv_cache_decode_matches_forward():
+    cfg = CFG_TFM
+    key = jax.random.PRNGKey(3)
+    tparams = tfm_mod.init_transformer_params(key, cfg)
+    b, t, e = 2, 7, cfg.embed_dim
+    x = jnp.asarray(np.random.RandomState(1).randn(b, t, e), jnp.float32)
+    full = tfm_mod.transformer_forward(tparams, x, None, cfg)
+
+    cache = tfm_mod.init_kv_cache(cfg, b, t)
+    outs = []
+    for i in range(t):
+        h, cache = tfm_mod.transformer_step(tparams, x[:, i], cache,
+                                            jnp.int32(i), cfg)
+        outs.append(h)
+    got = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full), atol=2e-4)
+
+
+def test_prefill_matches_steps():
+    cfg = CFG_TFM
+    key = jax.random.PRNGKey(4)
+    tparams = tfm_mod.init_transformer_params(key, cfg)
+    b, p, e = 1, 5, cfg.embed_dim
+    x = jnp.asarray(np.random.RandomState(2).randn(b, p + 1, e), jnp.float32)
+    mask = jnp.ones((b, p), bool)
+
+    cache1 = tfm_mod.init_kv_cache(cfg, b, p + 2)
+    cache1 = tfm_mod.prefill(tparams, x[:, :p], mask, cache1, cfg)
+    h1, _ = tfm_mod.transformer_step(tparams, x[:, p], cache1,
+                                     jnp.int32(p), cfg)
+
+    cache2 = tfm_mod.init_kv_cache(cfg, b, p + 2)
+    for i in range(p):
+        _, cache2 = tfm_mod.transformer_step(tparams, x[:, i], cache2,
+                                             jnp.int32(i), cfg)
+    h2, _ = tfm_mod.transformer_step(tparams, x[:, p], cache2,
+                                     jnp.int32(p), cfg)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-4)

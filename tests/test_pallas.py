@@ -1,0 +1,60 @@
+"""Pallas fused LSTM vs lax.scan golden path (SURVEY.md §8 step 9).
+
+These run only on a real TPU backend — conftest forces CPU for the rest of
+the suite, so they skip here and are exercised by scripts/tpu_checks.py
+(which the bench path runs on the real chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(jax.default_backend() != "tpu",
+                                  reason="pallas kernels need a TPU")
+
+
+@requires_tpu
+def test_pallas_forward_matches_scan():
+    from fewshot.models import lstm as L
+    from fewshot.ops.lstm_pallas import lstm_layer_pallas
+    params = L.init_lstm_params(jax.random.PRNGKey(0), 16, 128, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 16))
+    mask = jnp.arange(12) < jnp.array([12, 5, 9, 1])[:, None]
+    h0c0 = L.zero_state(4, 128, 1)[0]
+    ys_ref, (h_ref, c_ref) = L._layer_scan(params[0], x, mask, h0c0,
+                                           jnp.float32)
+    ys, (h, c) = lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=1e-5)
+
+
+@requires_tpu
+def test_pallas_grads_match_scan():
+    from fewshot.models import lstm as L
+    from fewshot.ops.lstm_pallas import lstm_layer_pallas
+    params = L.init_lstm_params(jax.random.PRNGKey(0), 16, 128, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 16))
+    mask = jnp.arange(12) < jnp.array([12, 5, 9, 1])[:, None]
+    h0c0 = L.zero_state(4, 128, 1)[0]
+
+    def loss(fn, p):
+        ys, (h, c) = fn(p, x, mask, h0c0, jnp.float32)
+        return jnp.sum(ys ** 2) + jnp.sum(h * c)
+
+    g_ref = jax.grad(lambda p: loss(L._layer_scan, p))(params[0])
+    g = jax.grad(lambda p: loss(lstm_layer_pallas, p))(params[0])
+    for k in g_ref:
+        ref = np.asarray(g_ref[k])
+        np.testing.assert_allclose(np.asarray(g[k]), ref,
+                                   atol=1e-4 + 1e-4 * np.abs(ref).max())
+
+
+def test_pallas_requires_aligned_hidden():
+    from fewshot.ops.lstm_pallas import lstm_layer_pallas
+    layer = {"wx": jnp.zeros((4, 4 * 100)), "wh": jnp.zeros((100, 400)),
+             "b": jnp.zeros((400,))}
+    with pytest.raises(ValueError, match="128"):
+        lstm_layer_pallas(layer, jnp.zeros((1, 2, 4)), None,
+                          (jnp.zeros((1, 100)), jnp.zeros((1, 100))),
+                          jnp.float32)
