@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: episodes/sec of the flagship episodic LSTM train step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by the faithful CPU reference implementation
+(scripts/cpu_reference.py -> benchmarks/cpu_reference.json), per the
+north-star target of >=50x episodes/sec at matched NLL (BASELINE.json:5).
+
+The benched step is the REAL training step: on-device episode sampling fused
+with forward+backward+Adam in one XLA program (fewshot/training.py), at the
+reference's canonical 5-shot shape (K=Q=5, max_len=256, embed 256, hidden
+512, 2 layers — BASELINE.json:2,7).  Batch size 32 episodes/step on one chip.
+
+Env knobs: BENCH_CELL=scan|pallas (default pallas), BENCH_STEPS, BENCH_BATCH.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+BENCH_CORPUS = REPO / "data" / "bench_lyrics"
+
+
+def ensure_corpus():
+    from fewshot.data.corpus import PackedCorpus, build_lyrics_corpus
+    from fewshot.data.synthetic import generate_lyrics_csv
+    if (BENCH_CORPUS / "corpus.npz").exists():
+        return PackedCorpus.load(BENCH_CORPUS)
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        csv = Path(tmp) / "lyrics.csv"
+        generate_lyrics_csv(csv, num_artists=24, songs_per_artist=16, seed=0)
+        return build_lyrics_corpus(csv, BENCH_CORPUS, vocab_size=5000,
+                                   max_len=256, seed=0)
+
+
+def main() -> None:
+    import jax
+    from fewshot import training
+    from fewshot.config import Config
+    from fewshot.data import episodes as eps
+
+    cell = os.environ.get("BENCH_CELL", "pallas")
+    steps = int(os.environ.get("BENCH_STEPS", "40"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+
+    corpus = ensure_corpus()
+    cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
+                 num_layers=2, batch_size=batch, support_size=5,
+                 query_size=5, cell=cell,
+                 compute_dtype="bfloat16" if cell == "pallas" else "float32",
+                 data_parallel=True)
+    data = eps.put_corpus(corpus)
+    split = jax.numpy.asarray(corpus.splits["train"])
+    state = training.init_train_state(cfg, len(corpus.vocab))
+    step = training.make_train_step(cfg, data, split)
+
+    # warmup: compile + settle
+    for _ in range(5):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    eps_per_sec = steps * cfg.batch_size / dt
+
+    ref_path = REPO / "benchmarks" / "cpu_reference.json"
+    vs = None
+    if ref_path.exists():
+        ref = json.loads(ref_path.read_text())
+        vs = eps_per_sec / ref["episodes_per_sec"]
+
+    print(json.dumps({
+        "metric": "train_episodes_per_sec",
+        "value": round(eps_per_sec, 2),
+        "unit": f"episodes/sec (1 chip, B={batch}, K=Q=5, L=256, "
+                f"lstm512x2/{cell})",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

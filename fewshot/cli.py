@@ -57,7 +57,16 @@ def _split_arg(cfg, corpus, split: str):
 
 
 def train_main(argv=None) -> None:
-    args, cfg, corpus = _setup(argv)
+    def flags(p):
+        p.add_argument("--profile_dir", type=str, default=None,
+                       help="capture a jax.profiler trace of steps 10-20 "
+                            "into this dir (view with TensorBoard)")
+        p.add_argument("--debug_nans", action="store_true",
+                       help="enable jax_debug_nans (SURVEY.md §6 sanitizer "
+                            "analogue); fails fast on the first NaN")
+    args, cfg, corpus = _setup(argv, flags)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     data = eps.put_corpus(corpus)
     train_split = _split_arg(cfg, corpus, "train")
@@ -74,8 +83,15 @@ def train_main(argv=None) -> None:
     tput = Throughput()
     tput.start()
     for _ in range(start_step, cfg.max_steps):
+        step_next = int(state.step) + 1
+        if args.profile_dir and step_next == 10:
+            jax.profiler.start_trace(args.profile_dir)
         state, metrics = train_step(state)
         step = int(state.step)
+        if args.profile_dir and step == 20:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"profile trace written to {args.profile_dir}", flush=True)
         tput.add(cfg.batch_size)
         if step % cfg.log_interval == 0 or step == cfg.max_steps:
             jax.block_until_ready(metrics["loss"])
@@ -100,9 +116,18 @@ def evaluate_main(argv=None) -> None:
         p.add_argument("--split", default="test",
                        choices=("train", "val", "test"))
         p.add_argument("--episodes", type=int, default=None)
+        p.add_argument("--baseline", default=None, choices=("unigram",),
+                       help="evaluate a non-neural sanity baseline instead")
     args, cfg, corpus = _setup(argv, flags)
     data = eps.put_corpus(corpus)
     split = _split_arg(cfg, corpus, args.split)
+    if args.baseline == "unigram":
+        from fewshot.models.unigram import evaluate_unigram
+        nll = evaluate_unigram(cfg, corpus, data, split,
+                               jax.random.PRNGKey(cfg.seed), args.episodes)
+        print(f"{args.split}_nll_per_token={nll:.6f} (unigram baseline)",
+              flush=True)
+        return
     state = training.init_train_state(cfg, len(corpus.vocab))
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)

@@ -1,0 +1,98 @@
+"""Unigram baselines: the reference's non-neural sanity models.
+
+Reference equivalent (SURVEY.md §2 "Simple baselines" in models/baselines.py,
+low-confidence entry): count-based LMs that bound what the neural models must
+beat.
+
+Two variants, both pure XLA (one-hot scatter counts, no Python loops):
+  * global unigram — smoothed token frequencies over the train split;
+  * episodic unigram — per-episode Dirichlet posterior: support-set counts
+    mixed with the global prior (prior_strength pseudo-counts), the
+    few-shot analogue.  Beating THIS (not just the global model) is what
+    shows a neural model actually uses the support set.
+
+NLL semantics are identical to the neural path (targets 1..len-1, PAD
+masked), so numbers are directly comparable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fewshot.data.episodes import Episode
+from fewshot.data.vocab import PAD
+from fewshot.models.lm import shift_targets
+
+
+def _masked_counts(tokens: jax.Array, lengths: jax.Array,
+                   vocab_size: int) -> jax.Array:
+    """Counts over TARGET positions (1..len-1), i.e. what NLL is scored on."""
+    _, targets, mask = shift_targets(tokens, lengths)
+    onehot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
+    return jnp.sum(onehot * mask[..., None].astype(jnp.float32),
+                   axis=tuple(range(targets.ndim)))
+
+
+@partial(jax.jit, static_argnames=("vocab_size",))
+def fit_global(songs: jax.Array, song_len: jax.Array, song_pool: jax.Array,
+               vocab_size: int, alpha: float = 1.0) -> jax.Array:
+    """Smoothed global log-probs [V] from a split's songs."""
+    counts = _masked_counts(songs[song_pool], song_len[song_pool],
+                            vocab_size)
+    counts = counts.at[PAD].set(0.0)
+    smoothed = counts + alpha
+    return jnp.log(smoothed / jnp.sum(smoothed))
+
+
+@partial(jax.jit, static_argnames=("vocab_size",))
+def episodic_nll_stats(ep: Episode, global_log_probs: jax.Array,
+                       vocab_size: int, prior_strength: float = 50.0
+                       ) -> tuple[jax.Array, jax.Array]:
+    """(ce_sum, count) of the per-episode Dirichlet-posterior unigram."""
+    sup_counts = jax.vmap(
+        lambda s, l: _masked_counts(s, l, vocab_size))(
+            ep.support, ep.support_len)                       # [B, V]
+    prior = jnp.exp(global_log_probs) * prior_strength
+    post = sup_counts + prior[None]
+    log_p = jnp.log(post / jnp.sum(post, axis=-1, keepdims=True))  # [B, V]
+
+    _, targets, mask = shift_targets(ep.query, ep.query_len)   # [B,Q,L-1]
+    tok_lp = jnp.take_along_axis(
+        log_p[:, None, None, :],
+        targets[..., None], axis=-1)[..., 0]
+    m = mask.astype(jnp.float32)
+    return -jnp.sum(tok_lp * m), jnp.sum(m)
+
+
+@partial(jax.jit, static_argnames=())
+def lm_nll_stats(tokens: jax.Array, lengths: jax.Array,
+                 log_probs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(ce_sum, count) of the global unigram on a [B, T] batch."""
+    _, targets, mask = shift_targets(tokens, lengths)
+    tok_lp = log_probs[targets]
+    m = mask.astype(jnp.float32)
+    return -jnp.sum(tok_lp * m), jnp.sum(m)
+
+
+def evaluate_unigram(cfg, corpus, data, split_artists, key,
+                     num_episodes: int | None = None) -> float:
+    """Average query NLL/token of the episodic unigram baseline."""
+    import numpy as np
+    from fewshot.data import episodes as eps
+
+    pool = jnp.asarray(eps.split_song_pool(corpus, "train"))
+    glp = fit_global(data.songs, data.song_len, pool, len(corpus.vocab))
+    n = num_episodes if num_episodes is not None else cfg.eval_episodes
+    n_batches = max(1, n // cfg.batch_size)
+    total = count = 0.0
+    for i in range(n_batches):
+        ep = eps.sample_episode(jax.random.fold_in(key, i), data,
+                                split_artists, cfg.batch_size,
+                                k=cfg.support_size, q=cfg.query_size)
+        t, c = episodic_nll_stats(ep, glp, len(corpus.vocab))
+        total += float(t)
+        count += float(c)
+    return total / max(count, 1.0)

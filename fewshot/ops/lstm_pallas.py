@@ -7,25 +7,27 @@ carries the dWx/dx gradients for free); only the inherently sequential part
 — per-step h @ Wh + gate nonlinearities + masked state update — lives in the
 kernel.
 
-Kernel structure: grid = (T,), which Mosaic executes sequentially on a TPU
-core; (h, c) live in VMEM scratch that persists across grid steps, Wh stays
-VMEM-resident (its BlockSpec index is constant), and the per-step zx/mask/ys
-blocks are streamed HBM<->VMEM by the automatic pipeline (double-buffered).
-So the recurrence never touches HBM for state and issues exactly one
-[B,H]x[H,4H] MXU matmul per step.
+Kernel structure: grid = (batch_tiles, T).  TPU grids run sequentially with
+the LAST dimension innermost, so for each batch tile the T steps run in
+order while (h, c) live in VMEM scratch that persists across grid steps; Wh
+stays VMEM-resident (constant BlockSpec index) and the per-step zx/mask/ys
+blocks stream HBM<->VMEM via the automatic double-buffered pipeline.  Batch
+tiling keeps per-block VMEM use bounded (a [T,B,4H] residency blew the 16MB
+VMEM budget at meta-batch scale), while the recurrence still issues exactly
+one [Bt,H]x[H,4H] MXU matmul per step and never touches HBM for state.
 
-Backward: recompute-gates BPTT as a second Pallas kernel running the grid in
-reverse (index_map t -> T-1-t).  Residuals are the forward's (h, c)
+Backward: recompute-gates BPTT as a second Pallas kernel running time in
+reverse (index_map t -> T-1-p).  Residuals are the forward's (h, c)
 sequences; gate activations are recomputed from them (one extra matmul per
-step) instead of being materialized — same trade as flash attention.
+step) instead of being materialized — the flash-attention trade.  dWh/db
+accumulate in VMEM scratch across the whole grid and are written once by the
+final program.
 
 Constraint: hidden_dim % 128 == 0 (lane-aligned gate slicing).  The scan
 cell (models/lstm.py) is the fallback for other shapes.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +37,29 @@ from jax.experimental.pallas import tpu as pltpu
 FORGET_BIAS = 1.0
 
 
+def _batch_tile(b: int) -> int:
+    """Largest divisor of b that is <= 128, preferring sublane multiples."""
+    for cand in range(min(b, 128), 0, -1):
+        if b % cand == 0 and (cand % 8 == 0 or cand == b):
+            return cand
+    return b
+
+
+def _cell_math(z, c, hidden):
+    i = z[:, :hidden]
+    j = z[:, hidden:2 * hidden]
+    f = z[:, 2 * hidden:3 * hidden]
+    o = z[:, 3 * hidden:]
+    new_c = jax.nn.sigmoid(f + FORGET_BIAS) * c + \
+        jax.nn.sigmoid(i) * jnp.tanh(j)
+    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    return new_h, new_c
+
+
 def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
                 ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc):
-    t = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _():
@@ -49,13 +70,7 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
     hidden = h.shape[-1]
     z = zx_ref[0] + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                             preferred_element_type=jnp.float32) + b_ref[:]
-    i = z[:, :hidden]
-    j = z[:, hidden:2 * hidden]
-    f = z[:, 2 * hidden:3 * hidden]
-    o = z[:, 3 * hidden:]
-    new_c = jax.nn.sigmoid(f + FORGET_BIAS) * c + \
-        jax.nn.sigmoid(i) * jnp.tanh(j)
-    new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+    new_h, new_c = _cell_math(z, c, hidden)
     m = mask_ref[0]
     h_sc[:] = jnp.where(m > 0, new_h, h)
     c_sc[:] = jnp.where(m > 0, new_c, c)
@@ -71,24 +86,28 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
 def _fwd_call(zx, wh, b, mask, h0, c0):
     t_, b_, four_h = zx.shape
     hidden = four_h // 4
+    bt = _batch_tile(b_)
     f32 = jnp.float32
-    step_specs = dict(memory_space=pltpu.VMEM)
+    kw = dict(memory_space=pltpu.VMEM)
+    step3 = lambda bi, t: (t, bi, 0)     # noqa: E731
+    tile2 = lambda bi, t: (bi, 0)        # noqa: E731
+    const2 = lambda bi, t: (0, 0)        # noqa: E731
     out = pl.pallas_call(
         _fwd_kernel,
-        grid=(t_,),
+        grid=(b_ // bt, t_),
         in_specs=[
-            pl.BlockSpec((1, b_, four_h), lambda t: (t, 0, 0), **step_specs),
-            pl.BlockSpec((hidden, four_h), lambda t: (0, 0), **step_specs),
-            pl.BlockSpec((1, four_h), lambda t: (0, 0), **step_specs),
-            pl.BlockSpec((1, b_, 1), lambda t: (t, 0, 0), **step_specs),
-            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
-            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((1, bt, four_h), step3, **kw),    # zx
+            pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
+            pl.BlockSpec((1, four_h), const2, **kw),       # b
+            pl.BlockSpec((1, bt, 1), step3, **kw),         # mask
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # h0
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
         ],
         out_specs=[
-            pl.BlockSpec((1, b_, hidden), lambda t: (t, 0, 0), **step_specs),
-            pl.BlockSpec((1, b_, hidden), lambda t: (t, 0, 0), **step_specs),
-            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
-            pl.BlockSpec((b_, hidden), lambda t: (0, 0), **step_specs),
+            pl.BlockSpec((1, bt, hidden), step3, **kw),    # ys
+            pl.BlockSpec((1, bt, hidden), step3, **kw),    # cs
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # hT
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # cT
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_, b_, hidden), f32),
@@ -97,8 +116,8 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
             jax.ShapeDtypeStruct((b_, hidden), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b_, hidden), f32),
-            pltpu.VMEM((b_, hidden), f32),
+            pltpu.VMEM((bt, hidden), f32),
+            pltpu.VMEM((bt, hidden), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_ * b_ * hidden * four_h,
@@ -114,23 +133,27 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
                 dys_ref, dhT_ref, dcT_ref,
                 dzx_ref, dwh_ref, db_ref, dh0_ref, dc0_ref,
                 dh_sc, dc_sc, dwh_sc, db_sc):
-    """Reverse-time step: program p handles t = T-1-p (index maps flip)."""
-    p = pl.program_id(0)
-    n_t = pl.num_programs(0)
+    """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi."""
+    bi = pl.program_id(0)
+    p = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
+
+    @pl.when(jnp.logical_and(bi == 0, p == 0))
+    def _():
+        dwh_sc[:] = jnp.zeros_like(dwh_sc)
+        db_sc[:] = jnp.zeros_like(db_sc)
 
     @pl.when(p == 0)
     def _():
         dh_sc[:] = dhT_ref[:]
         dc_sc[:] = dcT_ref[:]
-        dwh_sc[:] = jnp.zeros_like(dwh_sc)
-        db_sc[:] = jnp.zeros_like(db_sc)
 
     h_prev = hprev_ref[0]
     c_prev = cprev_ref[0]
-    m = (mask_ref[0] > 0)
 
-    # Recompute gate pre-activations for this step.
+    # Recompute gate activations for this step (cheaper than storing them).
     z = zx_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[:],
                             preferred_element_type=jnp.float32) + b_ref[:]
     si = jax.nn.sigmoid(z[:, :hidden])
@@ -142,7 +165,7 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
 
     dh = dys_ref[0] + dh_sc[:]
     dc = dc_sc[:]
-    mf = m.astype(jnp.float32)
+    mf = (mask_ref[0] > 0).astype(jnp.float32)
     d_new_h = mf * dh
     d_new_c = d_new_h * so * (1.0 - tc * tc) + mf * dc
 
@@ -150,7 +173,7 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     dj = d_new_c * si * (1.0 - tj * tj)
     df = d_new_c * c_prev * sf * (1.0 - sf)
     do = d_new_h * tc * so * (1.0 - so)
-    dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [B, 4H]
+    dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
     dzx_ref[0] = dz
     dwh_sc[:] += jax.lax.dot_general(
@@ -167,39 +190,44 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
 
     @pl.when(p == n_t - 1)
     def _():
-        dwh_ref[:] = dwh_sc[:]
-        db_ref[:] = db_sc[:]
         dh0_ref[:] = dh_sc[:]
         dc0_ref[:] = dc_sc[:]
+
+    @pl.when(jnp.logical_and(bi == n_b - 1, p == n_t - 1))
+    def _():
+        dwh_ref[:] = dwh_sc[:]
+        db_ref[:] = db_sc[:]
 
 
 def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
     t_, b_, four_h = zx.shape
     hidden = four_h // 4
+    bt = _batch_tile(b_)
     f32 = jnp.float32
     kw = dict(memory_space=pltpu.VMEM)
-    rev = lambda p: (t_ - 1 - p, 0, 0)        # noqa: E731
-    const2 = lambda p: (0, 0)                 # noqa: E731
+    rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
+    tile2 = lambda bi, p: (bi, 0)              # noqa: E731
+    const2 = lambda bi, p: (0, 0)              # noqa: E731
     out = pl.pallas_call(
         _bwd_kernel,
-        grid=(t_,),
+        grid=(b_ // bt, t_),
         in_specs=[
-            pl.BlockSpec((1, b_, four_h), rev, **kw),      # zx
+            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # zx
             pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
             pl.BlockSpec((1, four_h), const2, **kw),       # b
-            pl.BlockSpec((1, b_, 1), rev, **kw),           # mask
-            pl.BlockSpec((1, b_, hidden), rev, **kw),      # h_prev
-            pl.BlockSpec((1, b_, hidden), rev, **kw),      # c_prev
-            pl.BlockSpec((1, b_, hidden), rev, **kw),      # dys
-            pl.BlockSpec((b_, hidden), const2, **kw),      # dhT
-            pl.BlockSpec((b_, hidden), const2, **kw),      # dcT
+            pl.BlockSpec((1, bt, 1), rev3, **kw),          # mask
+            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # h_prev
+            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # c_prev
+            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # dys
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # dhT
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # dcT
         ],
         out_specs=[
-            pl.BlockSpec((1, b_, four_h), rev, **kw),      # dzx
+            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # dzx
             pl.BlockSpec((hidden, four_h), const2, **kw),  # dwh
             pl.BlockSpec((1, four_h), const2, **kw),       # db
-            pl.BlockSpec((b_, hidden), const2, **kw),      # dh0
-            pl.BlockSpec((b_, hidden), const2, **kw),      # dc0
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # dh0
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # dc0
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_, b_, four_h), f32),
@@ -209,8 +237,8 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
             jax.ShapeDtypeStruct((b_, hidden), f32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b_, hidden), f32),
-            pltpu.VMEM((b_, hidden), f32),
+            pltpu.VMEM((bt, hidden), f32),
+            pltpu.VMEM((bt, hidden), f32),
             pltpu.VMEM((hidden, four_h), f32),
             pltpu.VMEM((1, four_h), f32),
         ],

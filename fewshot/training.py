@@ -71,11 +71,13 @@ def _loss_stats(params, cfg, data: CorpusOnDevice, split_artists, key,
     return lm_mod.lm_nll_stats(params, tokens, lengths, cfg)
 
 
-def make_train_step(cfg, data: CorpusOnDevice, split_artists):
+def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
     """Build the fused train step.  `split_artists` is the train split's
-    artist-id array (or the song pool for task="lm")."""
+    artist-id array (or the song pool for task="lm").  `mesh` overrides the
+    default all-devices data mesh (used by multichip dry runs)."""
     opt = make_optimizer(cfg)
-    mesh = make_mesh() if cfg.data_parallel else None
+    if mesh is None:
+        mesh = make_mesh() if cfg.data_parallel else None
     n_shards = mesh.devices.size if mesh is not None else 1
     if cfg.batch_size % n_shards:
         raise ValueError(

@@ -14,13 +14,20 @@ from pathlib import Path
 
 class MetricsLogger:
     def __init__(self, log_dir: str | Path | None = None,
-                 stdout: bool = True):
+                 stdout: bool = True, tensorboard: bool = False):
         self.stdout = stdout
         self._file = None
+        self._tb = None
         if log_dir is not None:
             d = Path(log_dir)
             d.mkdir(parents=True, exist_ok=True)
             self._file = open(d / "metrics.jsonl", "a", buffering=1)
+            if tensorboard:
+                try:
+                    import tensorflow as tf
+                    self._tb = tf.summary.create_file_writer(str(d / "tb"))
+                except ImportError:
+                    pass  # TensorBoard is optional (SURVEY.md §6)
 
     def log(self, step: int, **values) -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -28,6 +35,12 @@ class MetricsLogger:
                     for k, v in values.items()})
         if self._file is not None:
             self._file.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            with self._tb.as_default():
+                import tensorflow as tf
+                for k, v in rec.items():
+                    if k not in ("step", "time") and isinstance(v, float):
+                        tf.summary.scalar(k, v, step=int(step))
         if self.stdout:
             body = " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
@@ -37,6 +50,8 @@ class MetricsLogger:
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Throughput:
