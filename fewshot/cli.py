@@ -160,8 +160,11 @@ def sample_main(argv=None) -> None:
     k_ep, k_gen = jax.random.split(key)
     ep = eps.sample_episode(k_ep, data, split, args.num,
                             k=cfg.support_size, q=cfg.query_size)
+    token_masks = None
+    if cfg.dataset == "midi" and cfg.grammar_sampling:
+        token_masks = jnp.asarray(midi_mod.grammar_masks(corpus.vocab))
     toks = sampling_mod.generate(state.params, ep.support, ep.support_len,
-                                 k_gen, cfg)
+                                 k_gen, cfg, token_masks=token_masks)
     toks = np.asarray(jax.device_get(toks))
 
     out = Path(args.out)

@@ -64,6 +64,7 @@ class Config:
     sample_tokens: int = 128
     temperature: float = 1.0
     top_k: int = 40                  # 0 = full ancestral
+    grammar_sampling: bool = True    # midi: enforce SHIFT/PITCH/DUR/VEL cycle
 
     # -- validation ---------------------------------------------------------
 

@@ -190,6 +190,27 @@ def full_event_vocab() -> list[str]:
             + [f"VEL_{i}" for i in range(N_VEL)])
 
 
+def grammar_masks(vocab) -> "object":
+    """[4, V] bool: which token ids are legal at each phase of the
+    SHIFT->PITCH->DUR->VEL note-group cycle.
+
+    Phase 0 may also end the song (EOS).  Used by fewshot.sampling to
+    constrain on-device generation so every sampled group decodes into a
+    note — the unconstrained model wastes probability mass on malformed
+    groups early in training.
+    """
+    import numpy as np
+    from fewshot.data.vocab import EOS
+    kinds = ["SHIFT", "PITCH", "DUR", "VEL"]
+    masks = np.zeros((4, len(vocab)), bool)
+    for tid, tok in enumerate(vocab.tokens):
+        kind = tok.split("_")[0]
+        if kind in kinds:
+            masks[kinds.index(kind), tid] = True
+    masks[0, EOS] = True
+    return masks
+
+
 def events_to_notes(events: list[str]) -> list[Note]:
     """Token stream -> notes.  Tolerates malformed model output by scanning
     for complete SHIFT/PITCH/DUR/VEL groups."""

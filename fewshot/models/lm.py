@@ -81,19 +81,32 @@ def embed(params: dict, tokens: jax.Array) -> jax.Array:
     return params["embed"][tokens]
 
 
+def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
+    """Inverted dropout; identity when rate==0 or no key (eval mode)."""
+    if key is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # plain LM forward + loss (config #1, BASELINE.json:7)
 # ---------------------------------------------------------------------------
 
 def lm_logits(params: dict, tokens: jax.Array, cfg,
-              mask: jax.Array | None = None, state=None):
+              mask: jax.Array | None = None, state=None,
+              dropout_key: jax.Array | None = None):
     """tokens [B, T] -> (logits [B, T, V], final_state).
 
     For the transformer, `state` must be None (use sampling.py's KV-cache
-    decoder for incremental decoding).
+    decoder for incremental decoding).  `dropout_key` enables train-mode
+    dropout on the embeddings and the pre-head hidden states (cfg.dropout).
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    x = embed(params, tokens)
+    k_in = k_out = None
+    if dropout_key is not None:
+        k_in, k_out = jax.random.split(dropout_key)
+    x = dropout(embed(params, tokens), cfg.dropout, k_in)
     if cfg.model == "lstm":
         hidden, state = lstm_mod.lstm_forward(
             params["lstm"], x, mask=mask, state=state, compute_dtype=dt,
@@ -102,6 +115,7 @@ def lm_logits(params: dict, tokens: jax.Array, cfg,
         hidden = tfm_mod.transformer_forward(params["transformer"], x, mask,
                                              cfg)
         state = None
+    hidden = dropout(hidden, cfg.dropout, k_out)
     return head_logits(params, hidden, cfg), state
 
 
@@ -135,11 +149,13 @@ def shift_targets(tokens: jax.Array,
 
 
 def lm_nll_stats(params: dict, tokens: jax.Array, lengths: jax.Array,
-                 cfg) -> tuple[jax.Array, jax.Array]:
+                 cfg, dropout_key: jax.Array | None = None
+                 ) -> tuple[jax.Array, jax.Array]:
     """(sum CE, token count) on a [B, T] batch — exact aggregation across
     eval batches and across chips (psum both, divide once)."""
     inputs, targets, mask = shift_targets(tokens, lengths)
-    logits, _ = lm_logits(params, inputs, cfg, mask=mask)
+    logits, _ = lm_logits(params, inputs, cfg, mask=mask,
+                          dropout_key=dropout_key)
     return token_nll(logits, targets, mask)
 
 
@@ -177,8 +193,9 @@ def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
     return total / jnp.maximum(count, 1.0)
 
 
-def episodic_nll_stats(params: dict, ep: Episode,
-                       cfg) -> tuple[jax.Array, jax.Array]:
+def episodic_nll_stats(params: dict, ep: Episode, cfg,
+                       dropout_key: jax.Array | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
     """(sum CE over query tokens, query token count) for a meta-batch."""
     b, q_, l_ = ep.query.shape
     inputs, targets, mask = shift_targets(ep.query, ep.query_len)
@@ -193,7 +210,7 @@ def episodic_nll_stats(params: dict, ep: Episode,
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
                      for h, c in state]
         logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
-                              state=state)
+                              state=state, dropout_key=dropout_key)
     else:
         if cfg.support_mode == "state":
             bk, k_, sl = ep.support.shape
@@ -207,6 +224,7 @@ def episodic_nll_stats(params: dict, ep: Episode,
             logits = head_logits(params, hidden.reshape(b * q_, l_ - 1, -1),
                                  cfg)
         else:
-            logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask)
+            logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
+                                  dropout_key=dropout_key)
 
     return token_nll(logits, targets.reshape(b * q_, l_ - 1), flat_mask)

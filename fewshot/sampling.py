@@ -42,8 +42,12 @@ def filtered_sample(key: jax.Array, logits: jax.Array, temperature: float,
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
-                key: jax.Array, cfg, n_tokens: int) -> jax.Array:
-    """LSTM few-shot continuation.  support [B, K, L] -> tokens [B, n]."""
+                key: jax.Array, cfg, n_tokens: int,
+                token_masks: jax.Array | None = None) -> jax.Array:
+    """LSTM few-shot continuation.  support [B, K, L] -> tokens [B, n].
+
+    token_masks [P, V] (optional): per-phase legal-token masks cycled every
+    emission — the MIDI event grammar (fewshot.data.midi.grammar_masks)."""
     b = support.shape[0]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.support_mode == "state":
@@ -52,19 +56,22 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
         state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
 
     def step(carry, _):
-        state, tok, done, key = carry
+        state, tok, done, phase, key = carry
         key, sub = jax.random.split(key)
         x = lm_mod.embed(params, tok)
         h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
         logits = lm_mod.head_logits(params, h, cfg)
+        if token_masks is not None:
+            logits = jnp.where(token_masks[phase], logits, -jnp.inf)
         nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
         nxt = jnp.where(done, PAD, nxt)
-        out = nxt
         done = done | (nxt == EOS)
-        return (state, nxt, done, key), out
+        n_phases = token_masks.shape[0] if token_masks is not None else 1
+        phase = jnp.where(done, phase, (phase + 1) % n_phases)
+        return (state, nxt, done, phase, key), nxt
 
     init = (state, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), key)
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), key)
     _, toks = jax.lax.scan(step, init, None, length=n_tokens)
     return jnp.swapaxes(toks, 0, 1)                     # [B, n]
 
@@ -72,7 +79,8 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def sample_transformer(params: dict, support: jax.Array,
                        support_len: jax.Array, key: jax.Array, cfg,
-                       n_tokens: int) -> jax.Array:
+                       n_tokens: int,
+                       token_masks: jax.Array | None = None) -> jax.Array:
     """Transformer few-shot continuation via prefix KV-cache decode."""
     b, k_, l_ = support.shape
     prefix_len = k_ * l_ if cfg.support_mode == "state" else 0
@@ -87,25 +95,30 @@ def sample_transformer(params: dict, support: jax.Array,
                                 cache, cfg)
 
     def step(carry, i):
-        cache, tok, done, key = carry
+        cache, tok, done, phase, key = carry
         key, sub = jax.random.split(key)
         x = lm_mod.embed(params, tok)
         h, cache = tfm_mod.transformer_step(tparams, x, cache,
                                             prefix_len + i, cfg)
         logits = lm_mod.head_logits(params, h, cfg)
+        if token_masks is not None:
+            logits = jnp.where(token_masks[phase], logits, -jnp.inf)
         nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
         nxt = jnp.where(done, PAD, nxt)
         done = done | (nxt == EOS)
-        return (cache, nxt, done, key), nxt
+        n_phases = token_masks.shape[0] if token_masks is not None else 1
+        phase = jnp.where(done, phase, (phase + 1) % n_phases)
+        return (cache, nxt, done, phase, key), nxt
 
     init = (cache, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), key)
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), key)
     _, toks = jax.lax.scan(step, init, jnp.arange(n_tokens))
     return jnp.swapaxes(toks, 0, 1)
 
 
 def generate(params: dict, support: jax.Array, support_len: jax.Array,
-             key: jax.Array, cfg, n_tokens: int | None = None) -> jax.Array:
+             key: jax.Array, cfg, n_tokens: int | None = None,
+             token_masks: jax.Array | None = None) -> jax.Array:
     n = n_tokens if n_tokens is not None else cfg.sample_tokens
     fn = sample_lstm if cfg.model == "lstm" else sample_transformer
-    return fn(params, support, support_len, key, cfg, n)
+    return fn(params, support, support_len, key, cfg, n, token_masks)

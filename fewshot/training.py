@@ -61,14 +61,17 @@ def init_train_state(cfg, vocab_size: int, seed: int | None = None
 
 
 def _loss_stats(params, cfg, data: CorpusOnDevice, split_artists, key,
-                batch_size: int):
+                batch_size: int, train: bool = False):
     """Sample a batch/episodes on device and return (ce_sum, token_count)."""
+    k_sample, k_drop = jax.random.split(key)
+    dropout_key = k_drop if (train and cfg.dropout > 0) else None
     if cfg.task == "episodic":
-        ep = sample_episode(key, data, split_artists, batch_size,
+        ep = sample_episode(k_sample, data, split_artists, batch_size,
                             k=cfg.support_size, q=cfg.query_size)
-        return lm_mod.episodic_nll_stats(params, ep, cfg)
-    tokens, lengths = sample_lm_batch(key, data, split_artists, batch_size)
-    return lm_mod.lm_nll_stats(params, tokens, lengths, cfg)
+        return lm_mod.episodic_nll_stats(params, ep, cfg, dropout_key)
+    tokens, lengths = sample_lm_batch(k_sample, data, split_artists,
+                                      batch_size)
+    return lm_mod.lm_nll_stats(params, tokens, lengths, cfg, dropout_key)
 
 
 def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
@@ -87,7 +90,7 @@ def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
     def local_grads(params, key):
         def loss_fn(p):
             total, count = _loss_stats(p, cfg, data, split_artists, key,
-                                       local_batch)
+                                       local_batch, train=True)
             return total, count
         (total, count), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

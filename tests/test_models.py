@@ -200,3 +200,24 @@ def test_prefill_matches_steps():
     h2, _ = tfm_mod.transformer_step(tparams, x[:, p], cache2,
                                      jnp.int32(p), cfg)
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=2e-4)
+
+
+def test_dropout_train_vs_eval():
+    """cfg.dropout is live in train mode (key given) and off in eval."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG_LSTM, dropout=0.5)
+    key = jax.random.PRNGKey(0)
+    params = lm_mod.init_lm(key, cfg, cfg.vocab_size)
+    toks = jnp.asarray(np.random.RandomState(0).randint(4, 40, (2, 8)))
+    lens = jnp.full((2,), 8)
+    # eval: no dropout key -> deterministic, equals dropout=0.0 config
+    e1 = lm_mod.lm_nll_stats(params, toks, lens, cfg)
+    e2 = lm_mod.lm_nll_stats(params, toks, lens, CFG_LSTM)
+    assert float(e1[0]) == float(e2[0])
+    # train: dropout active -> loss differs from eval and across keys
+    t1 = lm_mod.lm_nll_stats(params, toks, lens, cfg,
+                             dropout_key=jax.random.PRNGKey(1))
+    t2 = lm_mod.lm_nll_stats(params, toks, lens, cfg,
+                             dropout_key=jax.random.PRNGKey(2))
+    assert float(t1[0]) != float(e1[0])
+    assert float(t1[0]) != float(t2[0])
