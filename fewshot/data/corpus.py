@@ -159,13 +159,15 @@ def build_midi_corpus(midi_root: str | Path, out_dir: str | Path,
     The MIDI event vocab is closed (midi.full_event_vocab), so no counting
     pass is needed.
     """
+    from fewshot.data import native
     from fewshot.data.vocab import SPECIALS
+    parse = native.parse_midi if native.available() else midi_mod.parse_midi
     vocab = Vocab(SPECIALS + midi_mod.full_event_vocab())
     items: list[tuple[str, str, list[int]]] = []
     root = Path(midi_root)
     for adir in sorted(p for p in root.iterdir() if p.is_dir()):
         for mid in sorted(adir.glob("*.mid")):
-            notes = midi_mod.parse_midi(mid)
+            notes = parse(mid)
             if not notes:
                 continue
             events = midi_mod.notes_to_events(notes)

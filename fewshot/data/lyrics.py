@@ -47,7 +47,12 @@ def tokenize_corpus(
 
     Returns (vocab, [(artist, song, ids)]) where ids exclude BOS/EOS —
     the packer adds framing so max_len accounting lives in one place.
+    Uses the native tokenizer (fewshot.data.native) when built — byte-exact,
+    just faster on large corpora.
     """
+    from fewshot.data import native
+    if native.available():
+        return native.tokenize_corpus(rows, vocab_size)
     tokenized = [(a, s, tokenize_line(t)) for a, s, t in rows]
     counter: Counter = Counter()
     for _, _, toks in tokenized:
