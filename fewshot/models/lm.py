@@ -193,10 +193,56 @@ def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
     return total / jnp.maximum(count, 1.0)
 
 
+def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
+                                dropout_key: jax.Array | None = None
+                                ) -> tuple[jax.Array, jax.Array]:
+    """Fine-tune episodic variant (SURVEY.md §2 "LSTM LM baseline
+    (+ fine-tune variant)"): per episode, take cfg.inner_steps SGD steps on
+    the support-set LM loss from the shared initialization, then score the
+    query set with the adapted parameters.
+
+    TPU-native formulation: the whole inner loop is vmapped over the
+    meta-batch — B per-episode parameter copies adapt in parallel in one XLA
+    program (the reference would fine-tune episodes one at a time in
+    Python).  With cfg.first_order=True the inner gradients are
+    stop-gradiented (FOMAML); False differentiates through the inner loop
+    (full MAML, second-order).
+    """
+    def one_episode(support, support_len, query, query_len, dkey):
+        def support_loss(p):
+            inputs, targets, mask = shift_targets(support, support_len)
+            logits, _ = lm_logits(p, inputs, cfg, mask=mask)
+            return sequence_nll(logits, targets, mask)
+
+        p = params
+        for _ in range(cfg.inner_steps):
+            g = jax.grad(support_loss)(p)
+            if cfg.first_order:
+                g = jax.lax.stop_gradient(g)
+            p = jax.tree.map(lambda w, gw: w - cfg.inner_lr * gw, p, g)
+
+        inputs, targets, mask = shift_targets(query, query_len)
+        logits, _ = lm_logits(p, inputs, cfg, mask=mask, dropout_key=dkey)
+        return token_nll(logits, targets, mask)
+
+    b = ep.support.shape[0]
+    dkeys = (jax.random.split(dropout_key, b)
+             if dropout_key is not None else jnp.zeros((b, 2), jnp.uint32))
+    if dropout_key is None:
+        one = lambda s, sl, q, ql, dk: one_episode(s, sl, q, ql, None)  # noqa: E731
+    else:
+        one = one_episode
+    totals, counts = jax.vmap(one)(ep.support, ep.support_len, ep.query,
+                                   ep.query_len, dkeys)
+    return jnp.sum(totals), jnp.sum(counts)
+
+
 def episodic_nll_stats(params: dict, ep: Episode, cfg,
                        dropout_key: jax.Array | None = None
                        ) -> tuple[jax.Array, jax.Array]:
     """(sum CE over query tokens, query token count) for a meta-batch."""
+    if cfg.support_mode == "finetune":
+        return finetune_episodic_nll_stats(params, ep, cfg, dropout_key)
     b, q_, l_ = ep.query.shape
     inputs, targets, mask = shift_targets(ep.query, ep.query_len)
     flat_inputs = inputs.reshape(b * q_, l_ - 1)
