@@ -20,8 +20,8 @@ Backward: recompute-gates BPTT as a second Pallas kernel running time in
 reverse (index_map t -> T-1-p).  Residuals are the forward's (h, c)
 sequences; gate activations are recomputed from them (one extra matmul per
 step) instead of being materialized — the flash-attention trade.  dWh/db
-accumulate in VMEM scratch across the whole grid and are written once by the
-final program.
+accumulate directly in their VMEM-resident output blocks across the whole
+grid (constant BlockSpec index), avoiding a duplicate 4MB accumulator.
 
 Constraint: hidden_dim % 128 == 0 (lane-aligned gate slicing).  The scan
 cell (models/lstm.py) is the fallback for other shapes.
@@ -132,18 +132,21 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
 def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
                 dys_ref, dhT_ref, dcT_ref,
                 dzx_ref, dwh_ref, db_ref, dh0_ref, dc0_ref,
-                dh_sc, dc_sc, dwh_sc, db_sc):
-    """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi."""
+                dh_sc, dc_sc):
+    """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
+
+    dwh/db accumulate IN the (VMEM-resident, constant-index) output blocks —
+    a separate scratch accumulator would duplicate the 4MB [H,4H] buffer and
+    blow the 16MB VMEM budget at H=512."""
     bi = pl.program_id(0)
     p = pl.program_id(1)
-    n_b = pl.num_programs(0)
     n_t = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
 
     @pl.when(jnp.logical_and(bi == 0, p == 0))
     def _():
-        dwh_sc[:] = jnp.zeros_like(dwh_sc)
-        db_sc[:] = jnp.zeros_like(db_sc)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
 
     @pl.when(p == 0)
     def _():
@@ -176,10 +179,10 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
     dzx_ref[0] = dz
-    dwh_sc[:] += jax.lax.dot_general(
+    dwh_ref[:] += jax.lax.dot_general(
         h_prev.astype(dz.dtype), dz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    db_sc[:] += jnp.sum(dz, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
     dh_prev = jax.lax.dot_general(
         dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
@@ -192,11 +195,6 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     def _():
         dh0_ref[:] = dh_sc[:]
         dc0_ref[:] = dc_sc[:]
-
-    @pl.when(jnp.logical_and(bi == n_b - 1, p == n_t - 1))
-    def _():
-        dwh_ref[:] = dwh_sc[:]
-        db_ref[:] = db_sc[:]
 
 
 def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
@@ -239,8 +237,6 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
         scratch_shapes=[
             pltpu.VMEM((bt, hidden), f32),
             pltpu.VMEM((bt, hidden), f32),
-            pltpu.VMEM((hidden, four_h), f32),
-            pltpu.VMEM((1, four_h), f32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=6 * t_ * b_ * hidden * four_h,
