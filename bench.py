@@ -42,6 +42,8 @@ def ensure_corpus():
 
 def main() -> None:
     import jax
+    from fewshot.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from fewshot import training
     from fewshot.config import Config
     from fewshot.data import episodes as eps
@@ -49,11 +51,12 @@ def main() -> None:
     cell = os.environ.get("BENCH_CELL", "pallas")
     steps = int(os.environ.get("BENCH_STEPS", "40"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
+    support_mode = os.environ.get("BENCH_SUPPORT", "state")
 
     corpus = ensure_corpus()
     cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
                  num_layers=2, batch_size=batch, support_size=5,
-                 query_size=5, cell=cell,
+                 query_size=5, cell=cell, support_mode=support_mode,
                  compute_dtype="bfloat16" if cell == "pallas" else "float32",
                  data_parallel=True)
     data = eps.put_corpus(corpus)
@@ -83,7 +86,7 @@ def main() -> None:
         "metric": "train_episodes_per_sec",
         "value": round(eps_per_sec, 2),
         "unit": f"episodes/sec (1 chip, B={batch}, K=Q=5, L=256, "
-                f"lstm512x2/{cell})",
+                f"lstm512x2/{cell}/{support_mode})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
 

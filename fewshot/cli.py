@@ -34,6 +34,8 @@ from fewshot.utils.metrics import MetricsLogger, Throughput
 
 
 def _setup(argv, extra_flags=None):
+    from fewshot.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     add_config_flags(parser)
     if extra_flags:

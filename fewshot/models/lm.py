@@ -172,15 +172,31 @@ def lm_nll(params: dict, tokens: jax.Array, lengths: jax.Array,
 
 def support_state(params: dict, support: jax.Array, support_len: jax.Array,
                   cfg):
-    """LSTM: run the support concat, return the priming per-layer (h, c).
+    """LSTM: derive the priming per-layer (h, c) from the support set.
 
-    support [B, K, L] -> time-concat [B, K*L]; PAD steps are masked so state
-    flows untouched across inter-song padding.
+    support_mode="state" (reference semantics): songs are concatenated along
+    time ([B, K*L] stream; PAD steps masked so state flows untouched across
+    inter-song padding) — K*L sequential steps.
+
+    support_mode="mean_state" (TPU-first variant): each song is scanned
+    INDEPENDENTLY as part of one [B*K, L] batch and the K final states are
+    averaged — only L sequential steps (Kx less serial work) with Kx more
+    parallelism per step, which is exactly the trade the hardware wants.
+    Order-invariant over the support set, which episodic conditioning
+    arguably should be anyway.
     """
     b, k_, l_ = support.shape
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.support_mode == "mean_state":
+        flat = support.reshape(b * k_, l_)
+        mask = (jnp.arange(l_) < support_len.reshape(b * k_)[:, None])
+        x = embed(params, flat)
+        _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
+                                         compute_dtype=dt, cell=cfg.cell)
+        return [(h.reshape(b, k_, -1).mean(axis=1),
+                 c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
     flat = support.reshape(b, k_ * l_)
     mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
-    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     x = embed(params, flat)
     _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
                                      compute_dtype=dt, cell=cfg.cell)
@@ -250,7 +266,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
 
     if cfg.model == "lstm":
         state = None
-        if cfg.support_mode == "state":
+        if cfg.support_mode in ("state", "mean_state"):
             state = support_state(params, ep.support, ep.support_len, cfg)
             # Broadcast each episode's state over its Q query songs.
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
@@ -258,7 +274,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
         logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                               state=state, dropout_key=dropout_key)
     else:
-        if cfg.support_mode == "state":
+        if cfg.support_mode in ("state", "mean_state"):
             bk, k_, sl = ep.support.shape
             prefix = ep.support.reshape(b, k_ * sl)
             prefix_mask = (jnp.arange(sl) <

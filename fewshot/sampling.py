@@ -50,7 +50,7 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     emission — the MIDI event grammar (fewshot.data.midi.grammar_masks)."""
     b = support.shape[0]
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.support_mode == "state":
+    if cfg.support_mode in ("state", "mean_state"):
         state = lm_mod.support_state(params, support, support_len, cfg)
     else:
         state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
@@ -83,11 +83,12 @@ def sample_transformer(params: dict, support: jax.Array,
                        token_masks: jax.Array | None = None) -> jax.Array:
     """Transformer few-shot continuation via prefix KV-cache decode."""
     b, k_, l_ = support.shape
-    prefix_len = k_ * l_ if cfg.support_mode == "state" else 0
+    use_prefix = cfg.support_mode in ("state", "mean_state")
+    prefix_len = k_ * l_ if use_prefix else 0
     max_len = prefix_len + n_tokens + 1
     cache = tfm_mod.init_kv_cache(cfg, b, max_len)
     tparams = params["transformer"]
-    if cfg.support_mode == "state":
+    if use_prefix:
         flat = support.reshape(b, prefix_len)
         mask = (jnp.arange(l_) < support_len[..., None]).reshape(b,
                                                                  prefix_len)

@@ -107,6 +107,8 @@ def main(argv=None) -> None:
     p.add_argument("--bench", action="store_true", help="skip parity")
     args = p.parse_args(argv)
     import jax
+    from fewshot.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     if jax.default_backend() not in ("tpu", "axon"):
         backend = jax.default_backend()
         print(f"warning: running on {backend}, not a TPU", flush=True)

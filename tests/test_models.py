@@ -221,3 +221,34 @@ def test_dropout_train_vs_eval():
                              dropout_key=jax.random.PRNGKey(2))
     assert float(t1[0]) != float(e1[0])
     assert float(t1[0]) != float(t2[0])
+
+
+def test_mean_state_matches_concat_on_single_support():
+    """K=1: mean_state and concat state-priming are the same computation."""
+    import dataclasses
+    cfg_s = dataclasses.replace(CFG_LSTM, support_size=1)
+    cfg_m = dataclasses.replace(cfg_s, support_mode="mean_state")
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg_s, cfg_s.vocab_size)
+    rng = np.random.RandomState(0)
+    sup = jnp.asarray(rng.randint(4, 40, (2, 1, 10)), jnp.int32)
+    slen = jnp.asarray([[10], [6]], jnp.int32)
+    s1 = lm_mod.support_state(params, sup, slen, cfg_s)
+    s2 = lm_mod.support_state(params, sup, slen, cfg_m)
+    for (h1, c1), (h2, c2) in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+
+
+def test_mean_state_order_invariant():
+    import dataclasses
+    cfg = dataclasses.replace(CFG_LSTM, support_mode="mean_state",
+                              support_size=3)
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    rng = np.random.RandomState(1)
+    sup = jnp.asarray(rng.randint(4, 40, (1, 3, 10)), jnp.int32)
+    slen = jnp.full((1, 3), 10, jnp.int32)
+    perm = jnp.asarray([[2, 0, 1]])
+    s1 = lm_mod.support_state(params, sup, slen, cfg)
+    s2 = lm_mod.support_state(params, sup[0][perm[0]][None], slen, cfg)
+    for (h1, _), (h2, _) in zip(s1, s2):
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)

@@ -1,0 +1,72 @@
+"""Serving tier: HTTP round-trip against a live server (CPU backend)."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+
+import pytest
+
+from fewshot import training
+from fewshot.config import Config
+from fewshot.serve import Generator, serve
+
+CFG = Config(vocab_size=64, max_len=24, embed_dim=16, hidden_dim=24,
+             num_layers=1, batch_size=4, support_size=2, query_size=1,
+             sample_tokens=12, data_parallel=False)
+
+
+@pytest.fixture(scope="module")
+def server(tiny_corpus):
+    state = training.init_train_state(CFG, len(tiny_corpus.vocab))
+    gen = Generator(CFG, tiny_corpus, state.params, batch_size=4)
+    srv = serve(gen, host="127.0.0.1", port=0)   # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert resp.status == 200
+    assert body["status"] == "ok" and body["model"] == "lstm"
+
+
+def test_generate(server):
+    status, body = _post(server, {"num": 2, "split": "train",
+                                  "episode_seed": 1})
+    assert status == 200
+    outs = body["continuations"]
+    assert len(outs) == 2
+    for rec in outs:
+        assert "text" in rec and isinstance(rec["text"], str)
+        assert rec["artist"].startswith("artist_")
+
+
+def test_generate_by_artist(server, tiny_corpus):
+    name = tiny_corpus.artist_names[0]
+    status, body = _post(server, {"num": 1, "artist": name})
+    assert status == 200
+    assert body["continuations"][0]["artist"] == name
+
+
+def test_bad_requests(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"artist": "nobody_ever"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"split": "bogus"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope", timeout=30)
+    assert e.value.code == 404
