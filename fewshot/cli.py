@@ -81,6 +81,8 @@ def train_main(argv=None) -> None:
         print(f"restored checkpoint at step {start_step}", flush=True)
 
     train_step = training.make_train_step(cfg, data, train_split)
+    eval_step = training.make_eval_step(cfg, data, val_split) \
+        if cfg.eval_interval else None
     logger = MetricsLogger(args.checkpt_dir)
     tput = Throughput()
     tput.start()
@@ -103,7 +105,8 @@ def train_main(argv=None) -> None:
             tput.start()
         if cfg.eval_interval and step % cfg.eval_interval == 0:
             nll = training.evaluate(cfg, state.params, data, val_split,
-                                    jax.random.PRNGKey(cfg.seed + step))
+                                    jax.random.PRNGKey(cfg.seed + step),
+                                    eval_step=eval_step)
             logger.log(step, val_nll=nll)
         if args.checkpt_dir and cfg.checkpoint_interval and \
                 step % cfg.checkpoint_interval == 0:

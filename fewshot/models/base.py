@@ -36,6 +36,7 @@ class FewShotModel:
         self.state = training.init_train_state(cfg, len(corpus.vocab),
                                                seed=seed)
         self._train_step = None
+        self._eval_steps: dict[str, object] = {}
         self._token_masks = None
         if cfg.dataset == "midi" and cfg.grammar_sampling:
             self._token_masks = jnp.asarray(
@@ -72,10 +73,14 @@ class FewShotModel:
             total, count = lm_mod.episodic_nll_stats(self.state.params,
                                                      episode, self.cfg)
             return float(total) / max(float(count), 1.0)
+        if split not in self._eval_steps:
+            self._eval_steps[split] = training.make_eval_step(
+                self.cfg, self.data, self._split(split))
         return training.evaluate(self.cfg, self.state.params, self.data,
                                  self._split(split),
                                  jax.random.PRNGKey(self.cfg.seed),
-                                 num_episodes=num_episodes)
+                                 num_episodes=num_episodes,
+                                 eval_step=self._eval_steps[split])
 
     # -- generation ---------------------------------------------------------
 

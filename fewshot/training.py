@@ -136,10 +136,14 @@ def make_eval_step(cfg, data: CorpusOnDevice, split_artists):
 
 
 def evaluate(cfg, params, data: CorpusOnDevice, split_artists, key,
-             num_episodes: int | None = None) -> float:
-    """Average query NLL/token over N eval episodes (SURVEY.md §4.2)."""
+             num_episodes: int | None = None, eval_step=None) -> float:
+    """Average query NLL/token over N eval episodes (SURVEY.md §4.2).
+
+    Pass a prebuilt `eval_step` (make_eval_step) when calling repeatedly —
+    a fresh closure per call would retrace/recompile every time."""
     n = num_episodes if num_episodes is not None else cfg.eval_episodes
-    step = make_eval_step(cfg, data, split_artists)
+    step = eval_step if eval_step is not None else \
+        make_eval_step(cfg, data, split_artists)
     n_batches = max(1, n // cfg.batch_size)
     total, count = 0.0, 0.0
     for i in range(n_batches):
