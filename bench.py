@@ -51,7 +51,7 @@ def main() -> None:
     cell = os.environ.get("BENCH_CELL", "pallas")
     steps = int(os.environ.get("BENCH_STEPS", "40"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    support_mode = os.environ.get("BENCH_SUPPORT", "state")
+    support_mode = os.environ.get("BENCH_SUPPORT", "mean_state")
 
     corpus = ensure_corpus()
     cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,

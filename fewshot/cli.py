@@ -48,6 +48,13 @@ def _setup(argv, extra_flags=None):
         sys.exit(f"no packed corpus at {corpus_dir} — run "
                  f"scripts/prepare_data.py first (see README)")
     corpus = PackedCorpus.load(corpus_dir)
+    if corpus.max_len != cfg.max_len:
+        print(f"warning: corpus max_len={corpus.max_len} != config "
+              f"max_len={cfg.max_len}; the packed corpus wins "
+              f"(re-run scripts/prepare_data.py to change it)", flush=True)
+    if corpus.vocab is not None and len(corpus.vocab) > cfg.vocab_size:
+        sys.exit(f"corpus vocab ({len(corpus.vocab)}) exceeds config "
+                 f"vocab_size ({cfg.vocab_size}); re-pack or raise the cap")
     return args, cfg, corpus
 
 
