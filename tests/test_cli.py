@@ -1,0 +1,89 @@
+"""Public CLI surface: train -> resume -> evaluate -> sample, in-process.
+
+Mirrors the reference's command-line contract (SURVEY.md §2 L4) on a tiny
+synthetic corpus; complements the on-TPU drive in .claude/skills/verify.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fewshot.cli import evaluate_main, sample_main, train_main
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    from fewshot.data.corpus import build_lyrics_corpus
+    from fewshot.data.synthetic import generate_lyrics_csv
+    generate_lyrics_csv(root / "l.csv", num_artists=8, songs_per_artist=6,
+                        seed=0)
+    build_lyrics_corpus(root / "l.csv", root / "corpus", vocab_size=128,
+                        max_len=24)
+    (root / "task.yaml").write_text(
+        "task: episodic\nbatch_size: 8\nsupport_size: 2\nquery_size: 2\n"
+        "max_steps: 12\nlr: 5.0e-3\neval_interval: 6\neval_episodes: 8\n"
+        "checkpoint_interval: 6\nlog_interval: 4\ndata_parallel: false\n")
+    (root / "model.yaml").write_text(
+        "model: lstm\nembed_dim: 16\nhidden_dim: 24\nnum_layers: 1\n"
+        "sample_tokens: 10\n")
+    (root / "data.yaml").write_text(
+        f"dataset: lyrics\ncorpus_dir: {root / 'corpus'}\n"
+        "vocab_size: 128\nmax_len: 24\n")
+    return root
+
+
+def _args(root, *extra):
+    return ["--data", str(root / "data.yaml"),
+            "--model", str(root / "model.yaml"),
+            "--task", str(root / "task.yaml"), *extra]
+
+
+def test_train_evaluate_sample_roundtrip(workspace, capsys):
+    ck = str(workspace / "ck")
+    train_main(_args(workspace, "--checkpt_dir", ck))
+    out = capsys.readouterr().out
+    assert "loss=" in out and "val_nll=" in out
+    # metrics JSONL written
+    lines = [json.loads(ln) for ln in
+             (Path(ck) / "metrics.jsonl").read_text().splitlines()]
+    assert any("loss" in rec for rec in lines)
+
+    # resume: re-invoking with same max_steps restores and exits
+    train_main(_args(workspace, "--checkpt_dir", ck))
+    out = capsys.readouterr().out
+    assert "restored checkpoint at step 12" in out
+
+    evaluate_main(_args(workspace, "--checkpt_dir", ck, "--split", "val",
+                        "--episodes", "8"))
+    out = capsys.readouterr().out
+    assert "val_nll_per_token=" in out
+    nll = float(out.strip().split("=")[1])
+    assert 0 < nll < 10
+
+    evaluate_main(_args(workspace, "--baseline", "unigram"))
+    out = capsys.readouterr().out
+    assert "unigram baseline" in out
+
+    sample_main(_args(workspace, "--checkpt_dir", ck, "--out",
+                      str(workspace / "samples"), "--num", "2"))
+    files = sorted((workspace / "samples").glob("*.txt"))
+    assert len(files) == 2
+    assert all(f.read_text() is not None for f in files)
+
+
+def test_missing_corpus_exits(workspace, tmp_path):
+    (tmp_path / "bad_data.yaml").write_text(
+        "dataset: lyrics\ncorpus_dir: /nonexistent/place\n")
+    with pytest.raises(SystemExit, match="no packed corpus"):
+        evaluate_main(["--data", str(tmp_path / "bad_data.yaml")])
+
+
+def test_vocab_cap_guard(workspace, tmp_path):
+    (tmp_path / "d.yaml").write_text(
+        f"dataset: lyrics\ncorpus_dir: {workspace / 'corpus'}\n"
+        "vocab_size: 10\nmax_len: 24\n")
+    with pytest.raises(SystemExit, match="exceeds config"):
+        evaluate_main(["--data", str(tmp_path / "d.yaml")])
