@@ -44,6 +44,7 @@ class Config:
     # transformer-only
     num_heads: int = 8
     mlp_ratio: int = 4
+    remat: bool = False              # jax.checkpoint each transformer layer
 
     # ---- task (configs/task/*.yaml) ----
     task: str = "episodic"           # lm | episodic

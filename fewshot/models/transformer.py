@@ -118,12 +118,18 @@ def transformer_forward(params: dict, x: jax.Array,
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
     bias = _causal_bias(mask, t, b)
     h = x.astype(dt)
-    for layer in params["layers"]:
+
+    def block(h, layer):
         q, k, v = _qkv(layer, h, positions, cfg)
         attn = _attend(q, k, v, bias)
         h = h + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                         preferred_element_type=jnp.float32).astype(dt)
-        h = h + _mlp(layer, h, cfg).astype(dt)
+        return h + _mlp(layer, h, cfg).astype(dt)
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        h = block(h, layer)
     return rmsnorm(h, params["ln_f"])
 
 
@@ -155,7 +161,8 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
 
     hp = prefix_x.astype(dt)
     hq = query_x.astype(dt)
-    for layer in params["layers"]:
+
+    def block(hp, hq, layer):
         # Prefix stream (causal self-attention) — once per episode.
         pq, pk, pv = _qkv(layer, hp, pos_p, cfg)
         p_attn = _attend(pq, pk, pv, prefix_bias)
@@ -191,7 +198,12 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
         hq = hq + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                           preferred_element_type=jnp.float32).astype(dt)
         hq = hq + _mlp(layer, hq, cfg).astype(dt)
-        hp = hp_next
+        return hp_next, hq
+
+    if cfg.remat:
+        block = jax.checkpoint(block)
+    for layer in params["layers"]:
+        hp, hq = block(hp, hq, layer)
     return rmsnorm(hq, params["ln_f"])
 
 

@@ -94,22 +94,38 @@ def main(argv=None) -> None:
     rows = []
     for name, corpus, cfg in matrix:
         data = eps.put_corpus(corpus)
-        train_split = (jnp.asarray(corpus.splits["train"])
-                       if cfg.task == "episodic"
-                       else jnp.asarray(eps.split_song_pool(corpus, "train")))
-        test_split = (jnp.asarray(corpus.splits["test"])
-                      if cfg.task == "episodic"
-                      else jnp.asarray(eps.split_song_pool(corpus, "test")))
+        def split_arg(split):
+            return (jnp.asarray(corpus.splits[split])
+                    if cfg.task == "episodic"
+                    else jnp.asarray(eps.split_song_pool(corpus, split)))
+        train_split = split_arg("train")
+        val_split = split_arg("val")
+        test_split = split_arg("test")
         state = training.init_train_state(cfg, len(corpus.vocab))
         step = training.make_train_step(cfg, data, train_split)
+        val_step = training.make_eval_step(cfg, data, val_split)
+
+        # Val-based model selection: small models on small corpora overfit
+        # held-out artists fast; report test NLL at the best-val snapshot
+        # (standard early-stopping methodology).
+        best_val, best_params, best_step = float("inf"), state.params, 0
+        eval_every = max(50, cfg.max_steps // 15)
         t0 = time.perf_counter()
-        for _ in range(cfg.max_steps):
+        for i in range(cfg.max_steps):
             state, m = step(state)
+            if (i + 1) % eval_every == 0 or i + 1 == cfg.max_steps:
+                v = training.evaluate(cfg, state.params, data, val_split,
+                                      jax.random.PRNGKey(7),
+                                      eval_step=val_step)
+                if v < best_val:
+                    best_val, best_step = v, i + 1
+                    best_params = jax.tree.map(lambda x: x, state.params)
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         eps_sec = cfg.max_steps * cfg.batch_size / dt
-        test_nll = training.evaluate(cfg, state.params, data, test_split,
+        test_nll = training.evaluate(cfg, best_params, data, test_split,
                                      jax.random.PRNGKey(99))
+        state = state._replace(params=best_params)
         uni = (evaluate_unigram(cfg, corpus, data, test_split,
                                 jax.random.PRNGKey(99))
                if cfg.task == "episodic" else None)
@@ -125,7 +141,7 @@ def main(argv=None) -> None:
             extra = f"; sampled 8x64 tokens on device"
         uni_s = f" (unigram floor {uni:.3f})" if uni is not None else ""
         row = (f"| {name} | {float(m['loss']):.3f} | {test_nll:.3f}{uni_s} "
-               f"| {eps_sec:.0f} |{extra}")
+               f"@ step {best_step} | {eps_sec:.0f} |{extra}")
         rows.append(row)
         print(row, flush=True)
 
@@ -135,7 +151,10 @@ def main(argv=None) -> None:
         f"Trained {args.steps} steps each on 1x TPU v5 lite, B=32 episodes"
         f" (or songs for config 1), K=Q=5, L=256.",
         "",
-        "| Config | final train NLL | test NLL/token | episodes/sec |",
+        "Test NLL reported at the best-val checkpoint (early stopping);",
+        "episodes/sec includes periodic eval time.",
+        "",
+        "| Config | final train NLL | test NLL/token (best-val ckpt) | episodes/sec |",
         "|---|---|---|---|",
     ]
     Path(args.out).write_text("\n".join(hdr + rows) + "\n")
