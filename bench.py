@@ -21,7 +21,6 @@ import os
 import time
 from pathlib import Path
 
-import numpy as np
 
 REPO = Path(__file__).resolve().parent
 BENCH_CORPUS = REPO / "data" / "bench_lyrics"

@@ -80,7 +80,6 @@ def lm_nll_stats(tokens: jax.Array, lengths: jax.Array,
 def evaluate_unigram(cfg, corpus, data, split_artists, key,
                      num_episodes: int | None = None) -> float:
     """Average query NLL/token of the episodic unigram baseline."""
-    import numpy as np
     from fewshot.data import episodes as eps
 
     pool = jnp.asarray(eps.split_song_pool(corpus, "train"))

@@ -172,7 +172,6 @@ def serve(gen: Generator, host: str = "127.0.0.1", port: int = 8476
 
 
 def serve_main(argv=None) -> None:
-    import argparse
     from fewshot.cli import _setup
     from fewshot import training
     from fewshot.utils.ckpt import recover_or_init

@@ -16,7 +16,6 @@ sharding.  See fewshot/parallel/mesh.py for mesh construction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

@@ -17,7 +17,6 @@ Synthetic corpora are built on demand (data/matrix_{lyrics,midi}).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import sys
 import time
 from pathlib import Path
