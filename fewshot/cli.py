@@ -173,7 +173,8 @@ def sample_main(argv=None) -> None:
     ep = eps.sample_episode(k_ep, data, split, args.num,
                             k=cfg.support_size, q=cfg.query_size)
     token_masks = None
-    if cfg.dataset == "midi" and cfg.grammar_sampling:
+    if cfg.dataset == "midi" and cfg.grammar_sampling and not corpus.merges:
+        # grammar masks assume atomic events; BPE-merged tokens opt out
         token_masks = jnp.asarray(midi_mod.grammar_masks(corpus.vocab))
     toks = sampling_mod.generate(state.params, ep.support, ep.support_len,
                                  k_gen, cfg, token_masks=token_masks)
@@ -184,7 +185,11 @@ def sample_main(argv=None) -> None:
     for i in range(args.num):
         artist = (corpus.artist_names[int(ep.artist[i])]
                   if corpus.artist_names else str(int(ep.artist[i])))
-        words = corpus.vocab.decode(toks[i])
+        ids = toks[i]
+        if corpus.merges:
+            from fewshot.data import bpe
+            ids = bpe.expand(ids, corpus.merges)
+        words = corpus.vocab.decode(ids)
         if cfg.dataset == "midi":
             notes = midi_mod.events_to_notes(words)
             path = out / f"sample_{i:02d}_{artist}.mid"

@@ -42,6 +42,7 @@ class PackedCorpus:
     splits: dict[str, np.ndarray]
     artist_names: list[str] = field(default_factory=list)
     vocab: Vocab | None = None
+    merges: list = field(default_factory=list)   # BPE merge table (bpe.py)
 
     @property
     def max_len(self) -> int:
@@ -97,6 +98,9 @@ class PackedCorpus:
             {"artist_names": self.artist_names}))
         if self.vocab is not None:
             self.vocab.save(d / "vocab.json")
+        if self.merges:
+            from fewshot.data import bpe
+            bpe.save_merges(self.merges, d / "bpe.json")
 
     @classmethod
     def load(cls, corpus_dir: str | Path) -> "PackedCorpus":
@@ -108,9 +112,13 @@ class PackedCorpus:
             if (d / "meta.json").exists() else {}
         vocab = Vocab.load(d / "vocab.json") \
             if (d / "vocab.json").exists() else None
+        merges = []
+        if (d / "bpe.json").exists():
+            from fewshot.data import bpe
+            merges = bpe.load_merges(d / "bpe.json")
         return cls(z["songs"], z["song_len"], z["song_artist"],
                    z["artist_song_ids"], z["artist_num_songs"], splits,
-                   meta.get("artist_names", []), vocab)
+                   meta.get("artist_names", []), vocab, merges)
 
     def device_arrays(self) -> dict[str, "object"]:
         """The arrays the on-device sampler needs, as a pytree for device_put."""
@@ -142,18 +150,33 @@ def make_splits(num_artists: int, seed: int = 0,
 # Offline builders (CLI: scripts/prepare_data.py)
 # ---------------------------------------------------------------------------
 
+def _apply_bpe(items, vocab, bpe_merges: int):
+    """Learn + apply BPE at pack time (fewshot.data.bpe).  Returns the
+    extended vocab, re-encoded items, and the merge table."""
+    from fewshot.data import bpe
+    vocab, merges = bpe.learn_bpe([ids for _, _, ids in items], vocab,
+                                  bpe_merges)
+    items = [(a, s, bpe.encode(ids, merges)) for a, s, ids in items]
+    return vocab, items, merges
+
+
 def build_lyrics_corpus(csv_path: str | Path, out_dir: str | Path,
                         vocab_size: int, max_len: int,
-                        seed: int = 0) -> PackedCorpus:
+                        seed: int = 0, bpe_merges: int = 0) -> PackedCorpus:
     rows = lyrics_mod.read_lyrics_csv(csv_path)
     vocab, items = lyrics_mod.tokenize_corpus(rows, vocab_size)
+    merges = []
+    if bpe_merges > 0:
+        vocab, items, merges = _apply_bpe(items, vocab, bpe_merges)
     corpus = PackedCorpus.pack(items, vocab, max_len, seed)
+    corpus.merges = merges
     corpus.save(out_dir)
     return corpus
 
 
 def build_midi_corpus(midi_root: str | Path, out_dir: str | Path,
-                      max_len: int, seed: int = 0) -> PackedCorpus:
+                      max_len: int, seed: int = 0,
+                      bpe_merges: int = 0) -> PackedCorpus:
     """Walk per-artist `.mid` dirs -> event tokens -> packed corpus.
 
     The MIDI event vocab is closed (midi.full_event_vocab), so no counting
@@ -172,6 +195,10 @@ def build_midi_corpus(midi_root: str | Path, out_dir: str | Path,
                 continue
             events = midi_mod.notes_to_events(notes)
             items.append((adir.name, mid.stem, vocab.encode(events)))
+    merges = []
+    if bpe_merges > 0:
+        vocab, items, merges = _apply_bpe(items, vocab, bpe_merges)
     corpus = PackedCorpus.pack(items, vocab, max_len, seed)
+    corpus.merges = merges
     corpus.save(out_dir)
     return corpus

@@ -47,7 +47,8 @@ class Generator:
         self.data = eps.put_corpus(corpus)
         self.splits = {k: jnp.asarray(v) for k, v in corpus.splits.items()}
         self.token_masks = None
-        if cfg.dataset == "midi" and cfg.grammar_sampling:
+        if cfg.dataset == "midi" and cfg.grammar_sampling and \
+                not corpus.merges:
             self.token_masks = jnp.asarray(
                 midi_mod.grammar_masks(corpus.vocab))
         self._lock = threading.Lock()
@@ -107,7 +108,11 @@ class Generator:
 
         out = []
         for i in range(num):
-            words = self.corpus.vocab.decode(toks[i])
+            ids = toks[i]
+            if self.corpus.merges:
+                from fewshot.data import bpe
+                ids = bpe.expand(ids, self.corpus.merges)
+            words = self.corpus.vocab.decode(ids)
             name = (self.corpus.artist_names[int(artists[i])]
                     if self.corpus.artist_names else str(int(artists[i])))
             rec = {"artist": name, "tokens": len(words),

@@ -41,24 +41,30 @@ def main(argv=None) -> None:
     p.add_argument("--vocab_size", type=int, default=5000)
     p.add_argument("--max_len", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bpe_merges", type=int, default=0,
+                   help="learn N byte-pair merges at pack time (shortens "
+                        "sequences; see fewshot/data/bpe.py)")
     args = p.parse_args(argv)
 
     if args.lyrics_csv:
         corpus = build_lyrics_corpus(args.lyrics_csv, args.out,
-                                     args.vocab_size, args.max_len, args.seed)
+                                     args.vocab_size, args.max_len, args.seed,
+                                     args.bpe_merges)
     elif args.midi_root:
         corpus = build_midi_corpus(args.midi_root, args.out, args.max_len,
-                                   args.seed)
+                                   args.seed, args.bpe_merges)
     elif args.synthetic and args.dataset == "lyrics":
         with tempfile.TemporaryDirectory() as tmp:
             csv_path = Path(tmp) / "lyrics.csv"
             generate_lyrics_csv(csv_path, args.artists, args.songs, args.seed)
             corpus = build_lyrics_corpus(csv_path, args.out, args.vocab_size,
-                                         args.max_len, args.seed)
+                                         args.max_len, args.seed,
+                                         args.bpe_merges)
     elif args.synthetic and args.dataset == "midi":
         with tempfile.TemporaryDirectory() as tmp:
             generate_midi_corpus(tmp, args.artists, args.songs, args.seed)
-            corpus = build_midi_corpus(tmp, args.out, args.max_len, args.seed)
+            corpus = build_midi_corpus(tmp, args.out, args.max_len, args.seed,
+                                       args.bpe_merges)
     else:
         sys.exit("need --synthetic, --lyrics_csv, or --midi_root")
 

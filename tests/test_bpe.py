@@ -1,0 +1,97 @@
+"""BPE over token streams: learn/encode/expand round-trips + corpus wiring."""
+
+import numpy as np
+
+from fewshot.data import bpe
+from fewshot.data.corpus import PackedCorpus, build_midi_corpus
+from fewshot.data.synthetic import generate_midi_corpus
+from fewshot.data.vocab import SPECIALS, Vocab
+
+
+def _vocab(n=10):
+    return Vocab(SPECIALS + [f"t{i}" for i in range(n)])
+
+
+def test_learn_and_roundtrip():
+    v = _vocab()
+    base = len(SPECIALS)
+    seqs = [[base, base + 1, base + 2, base, base + 1],
+            [base, base + 1, base, base + 1, base + 3]]
+    v2, merges = bpe.learn_bpe(seqs, v, num_merges=3)
+    assert len(v2) > len(v)
+    assert merges[0][:2] == (base, base + 1)   # most frequent pair first
+    for s in seqs:
+        enc = bpe.encode(s, merges)
+        assert len(enc) < len(s)               # compression happened
+        assert bpe.expand(enc, merges) == s    # lossless
+
+
+def test_specials_never_merge():
+    v = _vocab()
+    seqs = [[1, 1, 1, 1], [2, 2, 2, 2]]        # BOS/EOS runs
+    v2, merges = bpe.learn_bpe(seqs, v, num_merges=5)
+    assert merges == []
+
+
+def test_merge_names_readable():
+    v = _vocab()
+    base = len(SPECIALS)
+    v2, merges = bpe.learn_bpe([[base, base + 1] * 4], v, 1)
+    a, b, new_id = merges[0]
+    assert v2.tokens[new_id] == "t0+t1"
+
+
+def test_midi_corpus_with_bpe(tmp_path):
+    generate_midi_corpus(tmp_path / "mid", num_artists=4,
+                         songs_per_artist=4, seed=0)
+    plain = build_midi_corpus(tmp_path / "mid", tmp_path / "plain",
+                              max_len=128)
+    packed = build_midi_corpus(tmp_path / "mid", tmp_path / "bpe",
+                               max_len=128, bpe_merges=40)
+    assert packed.merges and len(packed.vocab) > len(plain.vocab)
+    # BPE shortens songs
+    assert packed.song_len.sum() < plain.song_len.sum()
+
+    # round-trip through save/load keeps the merge table
+    loaded = PackedCorpus.load(tmp_path / "bpe")
+    assert loaded.merges == packed.merges
+
+    # every packed song expands to the plain encoding (content equality)
+    for i in range(packed.songs.shape[0]):
+        enc = [int(t) for t in
+               packed.songs[i][1:int(packed.song_len[i]) - 1]]
+        base_ids = bpe.expand(enc, packed.merges)
+        base_names = [packed.vocab.tokens[t] for t in base_ids]
+        want_ids = [int(t) for t in
+                    plain.songs[i][1:int(plain.song_len[i]) - 1]]
+        want_names = [plain.vocab.tokens[t] for t in want_ids]
+        # plain songs may be truncated at max_len; compare the prefix
+        assert base_names[:len(want_names)] == want_names or \
+            want_names[:len(base_names)] == base_names
+
+
+def test_sample_cli_expands_bpe(tmp_path, capsys):
+    """sample.py on a BPE MIDI corpus writes .mid files that re-parse."""
+    from fewshot.cli import sample_main
+    from fewshot.data.midi import parse_midi
+    generate_midi_corpus(tmp_path / "mid", num_artists=4,
+                         songs_per_artist=4, seed=0)
+    build_midi_corpus(tmp_path / "mid", tmp_path / "corpus", max_len=128,
+                      bpe_merges=40)
+    (tmp_path / "d.yaml").write_text(
+        f"dataset: midi\ncorpus_dir: {tmp_path / 'corpus'}\n"
+        "vocab_size: 400\nmax_len: 128\n")
+    (tmp_path / "m.yaml").write_text(
+        "model: lstm\nembed_dim: 16\nhidden_dim: 24\nnum_layers: 1\n"
+        "sample_tokens: 24\n")
+    (tmp_path / "t.yaml").write_text(
+        "task: episodic\nbatch_size: 4\nsupport_size: 2\nquery_size: 1\n"
+        "data_parallel: false\n")
+    sample_main(["--data", str(tmp_path / "d.yaml"),
+                 "--model", str(tmp_path / "m.yaml"),
+                 "--task", str(tmp_path / "t.yaml"),
+                 "--out", str(tmp_path / "samples"), "--num", "2"])
+    mids = sorted((tmp_path / "samples").glob("*.mid"))
+    assert len(mids) == 2
+    for m in mids:
+        parse_midi(m)   # must be valid SMF
