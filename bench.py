@@ -23,7 +23,12 @@ from pathlib import Path
 
 
 REPO = Path(__file__).resolve().parent
-BENCH_CORPUS = REPO / "data" / "bench_lyrics"
+# v2: packed at auto (tight) max_len — the recurrence runs max_len steps
+# whether they are padding or not, so the loose 256 budget was pure waste
+# for ~90-token songs.  The CPU reference is measured on the SAME corpus
+# (scripts/cpu_reference.py --corpus data/bench_lyrics_v2) so vs_baseline
+# stays apples-to-apples.
+BENCH_CORPUS = REPO / "data" / "bench_lyrics_v2"
 
 
 def ensure_corpus():
@@ -36,7 +41,7 @@ def ensure_corpus():
         csv = Path(tmp) / "lyrics.csv"
         generate_lyrics_csv(csv, num_artists=24, songs_per_artist=16, seed=0)
         return build_lyrics_corpus(csv, BENCH_CORPUS, vocab_size=5000,
-                                   max_len=256, seed=0)
+                                   max_len=0, seed=0)
 
 
 def main() -> None:
@@ -53,7 +58,8 @@ def main() -> None:
     support_mode = os.environ.get("BENCH_SUPPORT", "mean_state")
 
     corpus = ensure_corpus()
-    cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
+    cfg = Config(vocab_size=5000, max_len=corpus.max_len, embed_dim=256,
+                 hidden_dim=512,
                  num_layers=2, batch_size=batch, support_size=5,
                  query_size=5, cell=cell, support_mode=support_mode,
                  compute_dtype="bfloat16" if cell == "pallas" else "float32",
@@ -84,8 +90,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "train_episodes_per_sec",
         "value": round(eps_per_sec, 2),
-        "unit": f"episodes/sec (1 chip, B={batch}, K=Q=5, L=256, "
-                f"lstm512x2/{cell}/{support_mode})",
+        "unit": f"episodes/sec (1 chip, B={batch}, K=Q=5, "
+                f"L={cfg.max_len}, lstm512x2/{cell}/{support_mode})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }))
 

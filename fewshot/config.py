@@ -94,7 +94,8 @@ class Config:
             if getattr(self, field) <= 0:
                 raise ValueError(f"config: {field} must be positive")
         if self.model == "transformer" and self.embed_dim % self.num_heads:
-            raise ValueError("config: embed_dim must divide num_heads")
+            raise ValueError(
+                "config: num_heads must divide embed_dim evenly")
         if self.task == "episodic" and self.query_size < 1:
             raise ValueError("config: episodic task needs query_size >= 1")
 

@@ -57,7 +57,16 @@ class PackedCorpus:
     @classmethod
     def pack(cls, items: list[tuple[str, str, list[int]]], vocab: Vocab,
              max_len: int, seed: int = 0) -> "PackedCorpus":
-        """Pack (artist, song, ids) tuples; ids exclude BOS/EOS framing."""
+        """Pack (artist, song, ids) tuples; ids exclude BOS/EOS framing.
+
+        max_len <= 0 means auto: longest song + framing, rounded up to a
+        multiple of 8 (sublane-friendly).  Matters for throughput — the
+        recurrence runs max_len steps whether they're padding or not, so a
+        loose budget wastes serial time (notably after BPE compression).
+        """
+        if max_len <= 0:
+            longest = max((len(ids) for _, _, ids in items), default=0)
+            max_len = ((longest + 2 + 7) // 8) * 8
         artists = sorted({a for a, _, _ in items})
         aidx = {a: i for i, a in enumerate(artists)}
         n_songs = len(items)

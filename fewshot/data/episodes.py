@@ -88,6 +88,11 @@ def sample_episode(key: jax.Array, data: CorpusOnDevice,
     `key` may be a single PRNG key (batch_size must be given) or a [B, 2]
     batch of keys.  Returns an Episode with support [B,k,L], query [B,q,L].
     """
+    if k + q > data.artist_song_ids.shape[1]:
+        raise ValueError(
+            f"episode needs k+q={k + q} songs but the corpus's largest "
+            f"artist has only {data.artist_song_ids.shape[1]} "
+            f"(lax.top_k requires k <= table width)")
     if key.ndim == 1:
         keys = jax.random.split(key, batch_size)
     else:
