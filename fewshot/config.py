@@ -68,6 +68,7 @@ class Config:
     sample_tokens: int = 128
     temperature: float = 1.0
     top_k: int = 40                  # 0 = full ancestral
+    top_p: float = 0.0               # nucleus sampling; 0 disables
     grammar_sampling: bool = True    # midi: enforce SHIFT/PITCH/DUR/VEL cycle
 
     # -- validation ---------------------------------------------------------

@@ -290,6 +290,17 @@ def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
     if hidden % 128:
         raise ValueError(
             f"cell='pallas' requires hidden_dim % 128 == 0, got {hidden}")
+    # The backward keeps Wh (input) AND the dWh accumulator (output) VMEM-
+    # resident: 2 * H * 4H * 4 bytes.  Past ~H=640 that alone busts the
+    # 16MB budget — fall back to the lax.scan cell (XLA spills gracefully).
+    if 2 * hidden * 4 * hidden * 4 > 13 * 2 ** 20:
+        import warnings
+        warnings.warn(
+            f"cell='pallas' VMEM budget exceeded at hidden_dim={hidden}; "
+            f"falling back to the lax.scan cell for this layer",
+            stacklevel=2)
+        from fewshot.models.lstm import _layer_scan
+        return _layer_scan(layer, x, mask, h0c0, compute_dtype)
     zx = jnp.dot(x.astype(compute_dtype), layer["wx"].astype(compute_dtype),
                  preferred_element_type=jnp.float32)       # [B, T, 4H]
     zx_t = jnp.swapaxes(zx, 0, 1)                          # [T, B, 4H]

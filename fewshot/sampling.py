@@ -28,27 +28,43 @@ from fewshot.models import lstm as lstm_mod
 from fewshot.models import transformer as tfm_mod
 
 
-def filtered_sample(key: jax.Array, logits: jax.Array, temperature: float,
-                    top_k: int) -> jax.Array:
-    """Sample token ids [B] from logits [B, V] with temperature + top-k."""
+def filtered_sample(key: jax.Array, logits: jax.Array, temperature,
+                    top_k: int, top_p: float = 0.0) -> jax.Array:
+    """Sample token ids [B] from logits [B, V].
+
+    temperature may be a traced scalar (per-request without recompiling);
+    top_k/top_p are static.  top_k > 0 keeps the k best; top_p in (0, 1)
+    additionally applies nucleus filtering (smallest set with cumulative
+    probability >= top_p).  Both 0 => full ancestral sampling."""
     logits = logits.astype(jnp.float32)
-    if temperature != 1.0:
-        logits = logits / jnp.float32(max(temperature, 1e-6))
+    logits = logits / jnp.maximum(jnp.float32(temperature), 1e-6)
     if top_k > 0 and top_k < logits.shape[-1]:
         vals, _ = jax.lax.top_k(logits, top_k)
         logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)
+    if 0.0 < top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep tokens up to (and including) the one crossing top_p
+        keep = cum - probs < top_p
+        cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
+                         axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_tokens"))
 def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
                 key: jax.Array, cfg, n_tokens: int,
-                token_masks: jax.Array | None = None) -> jax.Array:
+                token_masks: jax.Array | None = None,
+                temperature: jax.Array | None = None) -> jax.Array:
     """LSTM few-shot continuation.  support [B, K, L] -> tokens [B, n].
 
     token_masks [P, V] (optional): per-phase legal-token masks cycled every
     emission — the MIDI event grammar (fewshot.data.midi.grammar_masks)."""
     b = support.shape[0]
+    temp = (jnp.float32(cfg.temperature) if temperature is None
+            else temperature)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.support_mode in ("state", "mean_state"):
         state = lm_mod.support_state(params, support, support_len, cfg)
@@ -63,7 +79,7 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
         logits = lm_mod.head_logits(params, h, cfg)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
-        nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
+        nxt = filtered_sample(sub, logits, temp, cfg.top_k, cfg.top_p)
         nxt = jnp.where(done, PAD, nxt)
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
@@ -80,9 +96,12 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
 def sample_transformer(params: dict, support: jax.Array,
                        support_len: jax.Array, key: jax.Array, cfg,
                        n_tokens: int,
-                       token_masks: jax.Array | None = None) -> jax.Array:
+                       token_masks: jax.Array | None = None,
+                       temperature: jax.Array | None = None) -> jax.Array:
     """Transformer few-shot continuation via prefix KV-cache decode."""
     b, k_, l_ = support.shape
+    temp = (jnp.float32(cfg.temperature) if temperature is None
+            else temperature)
     use_prefix = cfg.support_mode in ("state", "mean_state")
     prefix_len = k_ * l_ if use_prefix else 0
     max_len = prefix_len + n_tokens + 1
@@ -104,7 +123,7 @@ def sample_transformer(params: dict, support: jax.Array,
         logits = lm_mod.head_logits(params, h, cfg)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
-        nxt = filtered_sample(sub, logits, cfg.temperature, cfg.top_k)
+        nxt = filtered_sample(sub, logits, temp, cfg.top_k, cfg.top_p)
         nxt = jnp.where(done, PAD, nxt)
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
@@ -119,7 +138,14 @@ def sample_transformer(params: dict, support: jax.Array,
 
 def generate(params: dict, support: jax.Array, support_len: jax.Array,
              key: jax.Array, cfg, n_tokens: int | None = None,
-             token_masks: jax.Array | None = None) -> jax.Array:
+             token_masks: jax.Array | None = None,
+             temperature=None) -> jax.Array:
+    """temperature: optional traced scalar overriding cfg.temperature —
+    per-request control with zero recompiles (the jitted samplers take it
+    as a data argument)."""
     n = n_tokens if n_tokens is not None else cfg.sample_tokens
     fn = sample_lstm if cfg.model == "lstm" else sample_transformer
-    return fn(params, support, support_len, key, cfg, n, token_masks)
+    if temperature is not None:
+        temperature = jnp.asarray(temperature, jnp.float32)
+    return fn(params, support, support_len, key, cfg, n, token_masks,
+              temperature)

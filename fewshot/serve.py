@@ -56,7 +56,7 @@ class Generator:
                               in enumerate(corpus.artist_names)}
         self.warm_s = self._warmup()
 
-    def _sample(self, key, split_ids, artist_id):
+    def _sample(self, key, split_ids, artist_id, temperature=None):
         if artist_id is None:
             ep = eps.sample_episode(key, self.data, split_ids, self.batch,
                                     k=self.cfg.support_size,
@@ -72,7 +72,8 @@ class Generator:
             artists = np.asarray(ep.artist)
         toks = sampling_mod.generate(self.params, support, support_len,
                                      jax.random.fold_in(key, 1), self.cfg,
-                                     token_masks=self.token_masks)
+                                     token_masks=self.token_masks,
+                                     temperature=temperature)
         return np.asarray(jax.device_get(toks)), artists
 
     def _warmup(self) -> float:
@@ -84,7 +85,10 @@ class Generator:
 
     def generate(self, num: int, split: str = "test",
                  artist: str | int | None = None,
-                 episode_seed: int = 0) -> list[dict]:
+                 episode_seed: int = 0,
+                 temperature: float | None = None) -> list[dict]:
+        """temperature is a traced argument of the compiled sampler, so
+        per-request values cost no recompile."""
         artist_id = None
         if artist is not None:
             if isinstance(artist, str) and not artist.isdigit():
@@ -103,7 +107,7 @@ class Generator:
             t0 = time.perf_counter()
             toks, artists = self._sample(
                 jax.random.PRNGKey(episode_seed), self.splits[split],
-                artist_id)
+                artist_id, temperature)
             dt = time.perf_counter() - t0
 
         out = []
@@ -156,11 +160,13 @@ def make_handler(gen: Generator):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                temp = req.get("temperature")
                 outs = gen.generate(
                     num=int(req.get("num", 1)),
                     split=req.get("split", "test"),
                     artist=req.get("artist"),
-                    episode_seed=int(req.get("episode_seed", 0)))
+                    episode_seed=int(req.get("episode_seed", 0)),
+                    temperature=float(temp) if temp is not None else None)
                 self._reply(200, {"continuations": outs})
             except KeyError as e:
                 self._reply(400, {"error": str(e)})

@@ -58,3 +58,20 @@ def test_pallas_requires_aligned_hidden():
         lstm_layer_pallas(layer, jnp.zeros((1, 2, 4)), None,
                           (jnp.zeros((1, 100)), jnp.zeros((1, 100))),
                           jnp.float32)
+
+
+def test_pallas_falls_back_on_large_hidden():
+    """H past the VMEM weight-residency budget falls back to lax.scan."""
+    import warnings
+    import jax.numpy as jnp
+    from fewshot.models import lstm as L
+    from fewshot.ops.lstm_pallas import lstm_layer_pallas
+    params = L.init_lstm_params(jax.random.PRNGKey(0), 8, 1024, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8))
+    h0c0 = L.zero_state(2, 1024, 1)[0]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ys, _ = lstm_layer_pallas(params[0], x, None, h0c0, jnp.float32)
+    assert any("falling back" in str(x.message) for x in w)
+    ys_ref, _ = L._layer_scan(params[0], x, None, h0c0, jnp.float32)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-6)

@@ -77,3 +77,29 @@ def test_support_conditioning_changes_samples():
     # greedy: same support + any key -> identical; different support -> differs
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_top_p_filtering():
+    # distribution: p ~ [0.02, 0.64, 0.23, 0.09, 0.02]; top_p=0.8 keeps
+    # only the two largest (0.64+0.23=0.87 crosses 0.8 at the second)
+    logits = jnp.log(jnp.asarray([[0.02, 0.64, 0.23, 0.09, 0.02]]))
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    ids = {int(sampling.filtered_sample(k, logits, 1.0, 0, top_p=0.8)[0])
+           for k in keys}
+    assert ids == {1, 2}
+    # top_p=0 disables nucleus filtering
+    ids_all = {int(sampling.filtered_sample(k, logits, 1.0, 0, top_p=0.0)[0])
+               for k in keys}
+    assert len(ids_all) >= 4
+
+
+def test_traced_temperature_matches_config():
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), CFG, CFG.vocab_size)
+    sup, slen = _support(vmax=CFG.vocab_size)
+    import dataclasses
+    cfg_hot = dataclasses.replace(CFG, temperature=0.3)
+    a = sampling.generate(params, sup, slen, jax.random.PRNGKey(1), cfg_hot)
+    # same value passed as a traced argument on the base config
+    b = sampling.generate(params, sup, slen, jax.random.PRNGKey(1), CFG,
+                          temperature=0.3)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
