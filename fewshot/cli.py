@@ -29,7 +29,8 @@ from fewshot.data import episodes as eps
 from fewshot.data.corpus import PackedCorpus
 from fewshot.data.lyrics import detokenize
 from fewshot.data import midi as midi_mod
-from fewshot.utils.ckpt import recover_or_init, save_checkpoint
+from fewshot.utils.ckpt import (recover_or_init, save_checkpoint,
+                                 wait_for_checkpoints)
 from fewshot.utils.metrics import MetricsLogger, Throughput
 
 
@@ -108,6 +109,8 @@ def train_main(argv=None) -> None:
             jax.block_until_ready(metrics["loss"])
             logger.log(step, loss=metrics["loss"],
                        episodes_per_sec=tput.rate(),
+                       tokens_per_sec=tput.rate()
+                       * float(metrics["tokens"]) / cfg.batch_size,
                        grad_norm=metrics["grad_norm"])
             tput.start()
         if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -119,7 +122,8 @@ def train_main(argv=None) -> None:
                 step % cfg.checkpoint_interval == 0:
             save_checkpoint(args.checkpt_dir, state, vocab_hash)
     if args.checkpt_dir:
-        save_checkpoint(args.checkpt_dir, state, vocab_hash)
+        save_checkpoint(args.checkpt_dir, state, vocab_hash, block=True)
+        wait_for_checkpoints()
     logger.close()
 
 
@@ -130,6 +134,8 @@ def evaluate_main(argv=None) -> None:
         p.add_argument("--episodes", type=int, default=None)
         p.add_argument("--baseline", default=None, choices=("unigram",),
                        help="evaluate a non-neural sanity baseline instead")
+        p.add_argument("--per_artist", action="store_true",
+                       help="also print NLL broken down by artist")
     args, cfg, corpus = _setup(argv, flags)
     data = eps.put_corpus(corpus)
     split = _split_arg(cfg, corpus, args.split)
@@ -149,6 +155,29 @@ def evaluate_main(argv=None) -> None:
                             jax.random.PRNGKey(cfg.seed),
                             num_episodes=args.episodes)
     print(f"{args.split}_nll_per_token={nll:.6f}", flush=True)
+    if args.per_artist and cfg.task == "episodic":
+        # Per-artist breakdown: episodes drawn from each artist alone.  The
+        # artist array is a TRACED argument so one compile serves them all.
+        @jax.jit
+        def one_eval(params, key, artist_arr):
+            return training._loss_stats(params, cfg, data, artist_arr, key,
+                                        cfg.batch_size)
+
+        n = args.episodes or cfg.eval_episodes
+        n_batches = max(1, n // cfg.batch_size)
+        for a in np.asarray(split):
+            one = jnp.asarray([int(a)], jnp.int32)
+            total = count = 0.0
+            for i in range(n_batches):
+                t, c = one_eval(state.params,
+                                jax.random.fold_in(
+                                    jax.random.PRNGKey(cfg.seed), i), one)
+                total += float(t)
+                count += float(c)
+            name = (corpus.artist_names[int(a)] if corpus.artist_names
+                    else str(int(a)))
+            print(f"  artist {name}: nll={total / max(count, 1.0):.4f}",
+                  flush=True)
 
 
 def sample_main(argv=None) -> None:

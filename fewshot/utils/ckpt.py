@@ -26,13 +26,33 @@ def _manager(ckpt_dir: str | Path, max_to_keep: int = 3
                                              create=True))
 
 
+_OPEN_MANAGERS: dict[str, ocp.CheckpointManager] = {}
+
+
+def _live_manager(ckpt_dir: Path) -> ocp.CheckpointManager:
+    """Keep one manager open per dir so periodic saves run ASYNC (orbax
+    writes in a background thread; SURVEY.md §6 "frequent async
+    checkpoints").  wait_for_checkpoints() drains them (call before exit)."""
+    key = str(ckpt_dir.absolute())
+    if key not in _OPEN_MANAGERS:
+        _OPEN_MANAGERS[key] = _manager(ckpt_dir)
+    return _OPEN_MANAGERS[key]
+
+
 def save_checkpoint(ckpt_dir: str | Path, state: TrainState,
-                    vocab_hash: str = "") -> None:
+                    vocab_hash: str = "", block: bool = False) -> None:
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
     (d / "meta.json").write_text(json.dumps({"vocab_hash": vocab_hash}))
-    with _manager(d) as mgr:
-        mgr.save(int(state.step), args=ocp.args.StandardSave(state._asdict()))
+    mgr = _live_manager(d)
+    mgr.save(int(state.step), args=ocp.args.StandardSave(state._asdict()))
+    if block:
+        mgr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Drain in-flight async saves (end of training / process exit)."""
+    for mgr in _OPEN_MANAGERS.values():
         mgr.wait_until_finished()
 
 
@@ -48,19 +68,19 @@ def recover_or_init(ckpt_dir: str | Path | None, init_state: TrainState,
     d = Path(ckpt_dir)
     if not d.exists():
         return init_state, False
-    with _manager(d) as mgr:
-        latest = mgr.latest_step()
-        if latest is None:
-            return init_state, False
-        meta_path = d / "meta.json"
-        if vocab_hash and meta_path.exists():
-            stored = json.loads(meta_path.read_text()).get("vocab_hash", "")
-            if stored and stored != vocab_hash:
-                raise ValueError(
-                    f"checkpoint {d} was trained with a different vocab "
-                    f"(hash {stored} != {vocab_hash})")
-        abstract = jax.tree.map(
-            ocp.utils.to_shape_dtype_struct, init_state._asdict())
-        restored = mgr.restore(latest,
-                               args=ocp.args.StandardRestore(abstract))
-        return TrainState(**restored), True
+    mgr = _live_manager(d)
+    latest = mgr.latest_step()
+    if latest is None:
+        return init_state, False
+    meta_path = d / "meta.json"
+    if vocab_hash and meta_path.exists():
+        stored = json.loads(meta_path.read_text()).get("vocab_hash", "")
+        if stored and stored != vocab_hash:
+            raise ValueError(
+                f"checkpoint {d} was trained with a different vocab "
+                f"(hash {stored} != {vocab_hash})")
+    abstract = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct, init_state._asdict())
+    restored = mgr.restore(latest,
+                           args=ocp.args.StandardRestore(abstract))
+    return TrainState(**restored), True

@@ -87,3 +87,16 @@ def test_vocab_cap_guard(workspace, tmp_path):
         "vocab_size: 10\nmax_len: 24\n")
     with pytest.raises(SystemExit, match="exceeds config"):
         evaluate_main(["--data", str(tmp_path / "d.yaml")])
+
+
+def test_per_artist_breakdown(workspace, capsys):
+    evaluate_main(_args(workspace, "--split", "train", "--episodes", "8",
+                        "--per_artist"))
+    out = capsys.readouterr().out
+    assert "train_nll_per_token=" in out
+    # one line per train-split artist, each with a finite nll
+    artist_lines = [ln for ln in out.splitlines() if "artist artist_" in ln]
+    assert len(artist_lines) >= 2
+    for ln in artist_lines:
+        val = float(ln.split("nll=")[1])
+        assert 0 < val < 20
