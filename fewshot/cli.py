@@ -88,7 +88,20 @@ def train_main(argv=None) -> None:
     if restored:
         print(f"restored checkpoint at step {start_step}", flush=True)
 
-    train_step = training.make_train_step(cfg, data, train_split)
+    pipe = None
+    if cfg.pipeline == "host" and cfg.task == "episodic":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from fewshot.data.host_pipeline import HostEpisodePipeline
+        from fewshot.parallel.mesh import AXIS, make_mesh
+        mesh = make_mesh() if cfg.data_parallel else None
+        sharding = (NamedSharding(mesh, P(AXIS))
+                    if mesh is not None else None)
+        pipe = HostEpisodePipeline(corpus, "train", cfg.batch_size,
+                                   cfg.support_size, cfg.query_size,
+                                   seed=cfg.seed, sharding=sharding)
+        train_step = training.make_fed_train_step(cfg, mesh=mesh)
+    else:
+        train_step = training.make_train_step(cfg, data, train_split)
     eval_step = training.make_eval_step(cfg, data, val_split) \
         if cfg.eval_interval else None
     logger = MetricsLogger(args.checkpt_dir)
@@ -98,7 +111,8 @@ def train_main(argv=None) -> None:
         step_next = int(state.step) + 1
         if args.profile_dir and step_next == 10:
             jax.profiler.start_trace(args.profile_dir)
-        state, metrics = train_step(state)
+        state, metrics = (train_step(state, next(pipe)) if pipe is not None
+                          else train_step(state))
         step = int(state.step)
         if args.profile_dir and step == 20:
             jax.block_until_ready(metrics["loss"])
@@ -121,6 +135,8 @@ def train_main(argv=None) -> None:
         if args.checkpt_dir and cfg.checkpoint_interval and \
                 step % cfg.checkpoint_interval == 0:
             save_checkpoint(args.checkpt_dir, state, vocab_hash)
+    if pipe is not None:
+        pipe.close()
     if args.checkpt_dir:
         save_checkpoint(args.checkpt_dir, state, vocab_hash, block=True)
         wait_for_checkpoints()

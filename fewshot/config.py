@@ -63,6 +63,8 @@ class Config:
     log_interval: int = 20
     seed: int = 0
     data_parallel: bool = True       # shard episodes over jax.devices()
+    pipeline: str = "device"         # device (HBM-resident gather) | host
+                                     # (streaming prefetch; big corpora)
 
     # ---- sampling (sample entry point) ----
     sample_tokens: int = 128
@@ -81,6 +83,7 @@ class Config:
         "compute_dtype": ("float32", "bfloat16"),
         "task": ("lm", "episodic"),
         "optimizer": ("adam", "sgd"),
+        "pipeline": ("device", "host"),
     }
 
     def __post_init__(self) -> None:

@@ -73,6 +73,22 @@ def _loss_stats(params, cfg, data: CorpusOnDevice, split_artists, key,
     return lm_mod.lm_nll_stats(params, tokens, lengths, cfg, dropout_key)
 
 
+def _make_apply(cfg, opt):
+    """Shared grad-normalize + optimizer update half of a train step."""
+    def apply(state: TrainState, grads, total, count):
+        # grads are CE sums; normalize by the global token count.
+        inv = 1.0 / jnp.maximum(count, 1.0)
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_key = jax.random.fold_in(state.key, state.step)
+        metrics = {"loss": total * inv,
+                   "tokens": count,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1, new_key), metrics
+    return apply
+
+
 def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
     """Build the fused train step.  `split_artists` is the train split's
     artist-id array (or the song pool for task="lm").  `mesh` overrides the
@@ -95,18 +111,7 @@ def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
             loss_fn, has_aux=True)(params)
         return grads, total, count
 
-    def apply(state: TrainState, grads, total, count) -> tuple[TrainState,
-                                                               dict]:
-        # grads are CE sums; normalize by the global token count.
-        inv = 1.0 / jnp.maximum(count, 1.0)
-        grads = jax.tree.map(lambda g: g * inv, grads)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        new_key = jax.random.fold_in(state.key, state.step)
-        metrics = {"loss": total * inv,
-                   "tokens": count,
-                   "grad_norm": optax.global_norm(grads)}
-        return TrainState(params, opt_state, state.step + 1, new_key), metrics
+    apply = _make_apply(cfg, opt)
 
     if mesh is None:
         @jax.jit
@@ -123,6 +128,63 @@ def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
         return apply(state, grads, total, count)
 
     return train_step
+
+
+def make_fed_train_step(cfg, mesh=None):
+    """Train step taking the episode as an ARGUMENT (host pipeline mode).
+
+    The episode arrives already device_put (data/host_pipeline.py) with its
+    batch dim laid out over the mesh; shard_map consumes the local shard per
+    chip and psums (grads, ce_sum, token_count) exactly like the fused path.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from fewshot.parallel.mesh import AXIS
+
+    opt = make_optimizer(cfg)
+    if mesh is None:
+        mesh = make_mesh() if cfg.data_parallel else None
+    apply = _make_apply(cfg, opt)
+
+    def local_grads(params, key, ep):
+        def loss_fn(p):
+            dropout_key = (key if cfg.dropout > 0 else None)
+            return lm_mod.episodic_nll_stats(p, ep, cfg, dropout_key)
+        (total, count), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return grads, total, count
+
+    if mesh is None:
+        @jax.jit
+        def train_step(state: TrainState, ep):
+            grads, total, count = local_grads(state.params, state.key, ep)
+            return apply(state, grads, total, count)
+        return train_step
+
+    def sharded_fn(params, key, ep):
+        idx = jax.lax.axis_index(AXIS)
+        grads, total, count = local_grads(params,
+                                          jax.random.fold_in(key, idx), ep)
+        return (jax.lax.psum(grads, AXIS), jax.lax.psum(total, AXIS),
+                jax.lax.psum(count, AXIS))
+
+    ep_spec = jax.tree.map(lambda _: P(AXIS),
+                           _episode_structure(), is_leaf=lambda x: x is None)
+    sharded = shard_map(sharded_fn, mesh=mesh,
+                        in_specs=(P(), P(), ep_spec),
+                        out_specs=(P(), P(), P()), check_vma=False)
+
+    @jax.jit
+    def train_step(state: TrainState, ep):
+        grads, total, count = sharded(state.params, state.key, ep)
+        return apply(state, grads, total, count)
+
+    return train_step
+
+
+def _episode_structure():
+    from fewshot.data.episodes import Episode
+    return Episode(None, None, None, None, None)
 
 
 def make_eval_step(cfg, data: CorpusOnDevice, split_artists):
