@@ -68,14 +68,16 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
 
     h, c = h_sc[:], c_sc[:]
     hidden = h.shape[-1]
-    z = zx_ref[0] + jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                            preferred_element_type=jnp.float32) + b_ref[:]
+    # streams may be bf16 (see _fwd_call); state and gate math stay f32
+    z = zx_ref[0].astype(jnp.float32) + \
+        jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                preferred_element_type=jnp.float32) + b_ref[:]
     new_h, new_c = _cell_math(z, c, hidden)
     m = mask_ref[0]
     h_sc[:] = jnp.where(m > 0, new_h, h)
     c_sc[:] = jnp.where(m > 0, new_c, c)
-    ys_ref[0] = h_sc[:]
-    cs_ref[0] = c_sc[:]
+    ys_ref[0] = h_sc[:].astype(ys_ref.dtype)
+    cs_ref[0] = c_sc[:].astype(cs_ref.dtype)
 
     @pl.when(t == n_t - 1)
     def _():
@@ -88,6 +90,7 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
     hidden = four_h // 4
     bt = _batch_tile(b_)
     f32 = jnp.float32
+    st = zx.dtype                 # stream dtype: bf16 halves HBM traffic
     kw = dict(memory_space=pltpu.VMEM)
     step3 = lambda bi, t: (t, bi, 0)     # noqa: E731
     tile2 = lambda bi, t: (bi, 0)        # noqa: E731
@@ -110,8 +113,8 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
             pl.BlockSpec((bt, hidden), tile2, **kw),       # cT
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_, b_, hidden), f32),
-            jax.ShapeDtypeStruct((t_, b_, hidden), f32),
+            jax.ShapeDtypeStruct((t_, b_, hidden), st),
+            jax.ShapeDtypeStruct((t_, b_, hidden), st),
             jax.ShapeDtypeStruct((b_, hidden), f32),
             jax.ShapeDtypeStruct((b_, hidden), f32),
         ],
@@ -153,12 +156,13 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
         dh_sc[:] = dhT_ref[:]
         dc_sc[:] = dcT_ref[:]
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
+    h_prev = hprev_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
 
     # Recompute gate activations for this step (cheaper than storing them).
-    z = zx_ref[0] + jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[:],
-                            preferred_element_type=jnp.float32) + b_ref[:]
+    z = zx_ref[0].astype(jnp.float32) + \
+        jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[:],
+                preferred_element_type=jnp.float32) + b_ref[:]
     si = jax.nn.sigmoid(z[:, :hidden])
     tj = jnp.tanh(z[:, hidden:2 * hidden])
     sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
@@ -166,7 +170,7 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     new_c = sf * c_prev + si * tj          # pre-mask cell value
     tc = jnp.tanh(new_c)
 
-    dh = dys_ref[0] + dh_sc[:]
+    dh = dys_ref[0].astype(jnp.float32) + dh_sc[:]
     dc = dc_sc[:]
     mf = (mask_ref[0] > 0).astype(jnp.float32)
     d_new_h = mf * dh
@@ -178,7 +182,7 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     do = d_new_h * tc * so * (1.0 - so)
     dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
-    dzx_ref[0] = dz
+    dzx_ref[0] = dz.astype(dzx_ref.dtype)
     dwh_ref[:] += jax.lax.dot_general(
         h_prev.astype(dz.dtype), dz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -202,6 +206,7 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
     hidden = four_h // 4
     bt = _batch_tile(b_)
     f32 = jnp.float32
+    st = zx.dtype
     kw = dict(memory_space=pltpu.VMEM)
     rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
     tile2 = lambda bi, p: (bi, 0)              # noqa: E731
@@ -228,7 +233,7 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dc0
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_, b_, four_h), f32),
+            jax.ShapeDtypeStruct((t_, b_, four_h), st),
             jax.ShapeDtypeStruct((hidden, four_h), f32),
             jax.ShapeDtypeStruct((1, four_h), f32),
             jax.ShapeDtypeStruct((b_, hidden), f32),
@@ -268,8 +273,10 @@ def _vjp_fwd(zx, wh, b, mask, h0, c0):
 def _vjp_bwd(res, grads):
     zx, wh, b, mask, h0, c0, ys, cs = res
     dys, dhT, dcT = grads
-    h_prev_seq = jnp.concatenate([h0[None], ys[:-1]], axis=0)
-    c_prev_seq = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    h_prev_seq = jnp.concatenate([h0[None].astype(ys.dtype), ys[:-1]],
+                                 axis=0)
+    c_prev_seq = jnp.concatenate([c0[None].astype(cs.dtype), cs[:-1]],
+                                 axis=0)
     dzx, dwh, db, dh0, dc0 = _bwd_call(zx, wh, b, mask, h_prev_seq,
                                        c_prev_seq, dys, dhT, dcT)
     return (dzx, dwh.astype(wh.dtype), db[0], jnp.zeros_like(mask),
@@ -301,9 +308,11 @@ def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
             stacklevel=2)
         from fewshot.models.lstm import _layer_scan
         return _layer_scan(layer, x, mask, h0c0, compute_dtype)
+    stream_dt = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                 else jnp.float32)
     zx = jnp.dot(x.astype(compute_dtype), layer["wx"].astype(compute_dtype),
                  preferred_element_type=jnp.float32)       # [B, T, 4H]
-    zx_t = jnp.swapaxes(zx, 0, 1)                          # [T, B, 4H]
+    zx_t = jnp.swapaxes(zx, 0, 1).astype(stream_dt)        # [T, B, 4H]
     if mask is None:
         mask_t = jnp.ones((t_, b_, 1), jnp.float32)
     else:
@@ -313,4 +322,4 @@ def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
     ys, hT, cT = lstm_scan_pallas(zx_t, wh, layer["b"], mask_t,
                                   h0.astype(jnp.float32),
                                   c0.astype(jnp.float32))
-    return jnp.swapaxes(ys, 0, 1), (hT, cT)
+    return jnp.swapaxes(ys, 0, 1).astype(jnp.float32), (hT, cT)
