@@ -78,9 +78,12 @@ def train_main(argv=None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
-    data = eps.put_corpus(corpus)
-    train_split = _split_arg(cfg, corpus, "train")
-    val_split = _split_arg(cfg, corpus, "val")
+    host_mode = cfg.pipeline == "host" and cfg.task == "episodic"
+    if not host_mode:
+        # device pipeline: the whole corpus is HBM-resident
+        data = eps.put_corpus(corpus)
+        train_split = _split_arg(cfg, corpus, "train")
+        val_split = _split_arg(cfg, corpus, "val")
 
     state = training.init_train_state(cfg, len(corpus.vocab))
     state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
@@ -88,8 +91,8 @@ def train_main(argv=None) -> None:
     if restored:
         print(f"restored checkpoint at step {start_step}", flush=True)
 
-    pipe = None
-    if cfg.pipeline == "host" and cfg.task == "episodic":
+    pipe = val_pipe = None
+    if host_mode:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from fewshot.data.host_pipeline import HostEpisodePipeline
         from fewshot.parallel.mesh import AXIS, make_mesh
@@ -100,10 +103,17 @@ def train_main(argv=None) -> None:
                                    cfg.support_size, cfg.query_size,
                                    seed=cfg.seed, sharding=sharding)
         train_step = training.make_fed_train_step(cfg, mesh=mesh)
+        if cfg.eval_interval:
+            val_pipe = HostEpisodePipeline(
+                corpus, "val", cfg.batch_size, cfg.support_size,
+                cfg.query_size, seed=cfg.seed + 1, prefetch=1)
+            eval_step = training.make_fed_eval_step(cfg)
+        else:
+            eval_step = None
     else:
         train_step = training.make_train_step(cfg, data, train_split)
-    eval_step = training.make_eval_step(cfg, data, val_split) \
-        if cfg.eval_interval else None
+        eval_step = training.make_eval_step(cfg, data, val_split) \
+            if cfg.eval_interval else None
     logger = MetricsLogger(args.checkpt_dir)
     tput = Throughput()
     tput.start()
@@ -128,15 +138,21 @@ def train_main(argv=None) -> None:
                        grad_norm=metrics["grad_norm"])
             tput.start()
         if cfg.eval_interval and step % cfg.eval_interval == 0:
-            nll = training.evaluate(cfg, state.params, data, val_split,
-                                    jax.random.PRNGKey(cfg.seed + step),
-                                    eval_step=eval_step)
+            if val_pipe is not None:
+                nll = training.evaluate_fed(cfg, state.params, val_pipe,
+                                            eval_step=eval_step)
+            else:
+                nll = training.evaluate(cfg, state.params, data, val_split,
+                                        jax.random.PRNGKey(cfg.seed + step),
+                                        eval_step=eval_step)
             logger.log(step, val_nll=nll)
         if args.checkpt_dir and cfg.checkpoint_interval and \
                 step % cfg.checkpoint_interval == 0:
             save_checkpoint(args.checkpt_dir, state, vocab_hash)
     if pipe is not None:
         pipe.close()
+    if val_pipe is not None:
+        val_pipe.close()
     if args.checkpt_dir:
         save_checkpoint(args.checkpt_dir, state, vocab_hash, block=True)
         wait_for_checkpoints()

@@ -187,6 +187,28 @@ def _episode_structure():
     return Episode(None, None, None, None, None)
 
 
+def make_fed_eval_step(cfg):
+    """Jitted eval on a fed episode: (params, episode) -> (ce_sum, count)."""
+    @jax.jit
+    def eval_step(params, ep):
+        return lm_mod.episodic_nll_stats(params, ep, cfg)
+    return eval_step
+
+
+def evaluate_fed(cfg, params, pipe, num_episodes: int | None = None,
+                 eval_step=None) -> float:
+    """Average NLL/token over episodes drawn from a host pipeline."""
+    n = num_episodes if num_episodes is not None else cfg.eval_episodes
+    step = eval_step if eval_step is not None else make_fed_eval_step(cfg)
+    n_batches = max(1, n // pipe.batch)
+    total, count = 0.0, 0.0
+    for _ in range(n_batches):
+        t, c = step(params, next(pipe))
+        total += float(t)
+        count += float(c)
+    return total / max(count, 1.0)
+
+
 def make_eval_step(cfg, data: CorpusOnDevice, split_artists):
     """Jitted eval: (params, key) -> (ce_sum, token_count) on one batch."""
     @jax.jit
