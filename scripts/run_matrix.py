@@ -43,10 +43,10 @@ def ensure(dataset: str, out: Path):
             generate_lyrics_csv(csv, num_artists=96, songs_per_artist=24,
                                 seed=0)
             return build_lyrics_corpus(csv, out, vocab_size=5000,
-                                       max_len=256, seed=0)
+                                       max_len=0, seed=0)   # tight packing
         generate_midi_corpus(tmp, num_artists=96, songs_per_artist=24,
                              seed=0)
-        return build_midi_corpus(tmp, out, max_len=256, seed=0)
+        return build_midi_corpus(tmp, out, max_len=0, seed=0)
 
 
 def main(argv=None) -> None:
@@ -67,7 +67,8 @@ def main(argv=None) -> None:
     lyrics = ensure("lyrics", REPO / "data" / "matrix_lyrics")
     midi = ensure("midi", REPO / "data" / "matrix_midi")
 
-    base = dict(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
+    base = dict(vocab_size=5000, max_len=256,   # max_len overridden below
+                embed_dim=256, hidden_dim=512,
                 num_layers=2, batch_size=32, support_size=5, query_size=5,
                 lr=2e-3, cell="pallas", compute_dtype="bfloat16",
                 support_mode="mean_state", max_steps=args.steps,
@@ -92,6 +93,8 @@ def main(argv=None) -> None:
 
     rows = []
     for name, corpus, cfg in matrix:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, max_len=corpus.max_len)
         data = eps.put_corpus(corpus)
         def split_arg(split):
             return (jnp.asarray(corpus.splits[split])
@@ -148,7 +151,7 @@ def main(argv=None) -> None:
         "# RESULTS — experiment matrix (synthetic corpora)",
         "",
         f"Trained {args.steps} steps each on 1x TPU v5 lite, B=32 episodes"
-        f" (or songs for config 1), K=Q=5, L=256.",
+        f" (or songs for config 1), K=Q=5, tight-packed corpora.",
         "",
         "Test NLL reported at the best-val checkpoint (early stopping);",
         "episodes/sec includes periodic eval time.",
