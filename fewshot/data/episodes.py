@@ -105,6 +105,35 @@ def sample_episode(key: jax.Array, data: CorpusOnDevice,
         query=tokens[:, k:], query_len=lens[:, k:], artist=artists)
 
 
+@partial(jax.jit, static_argnames=("k", "q"))
+def sample_episode_for_artists(keys: jax.Array, data: CorpusOnDevice,
+                               artists: jax.Array, *, k: int,
+                               q: int) -> Episode:
+    """Episodes for GIVEN artist ids (serving: per-request artists).
+
+    keys [B, 2] per-row PRNG keys, artists [B] int32.  Song choice matches
+    sample_episode (Gumbel top-k without replacement)."""
+    def one(key, artist):
+        k_gumbel, k_fallback = jax.random.split(key)
+        row = data.artist_song_ids[artist]
+        n = data.artist_num_songs[artist]
+        m = row.shape[0]
+        gumbel = jax.random.gumbel(k_gumbel, (m,))
+        scores = jnp.where(jnp.arange(m) < n, gumbel, -jnp.inf)
+        _, slots = jax.lax.top_k(scores, k + q)
+        fallback = jax.random.randint(k_fallback, (k + q,), 0,
+                                      jnp.maximum(n, 1))
+        slots = jnp.where(jnp.arange(k + q) < n, slots, fallback)
+        song_ids = row[slots]
+        return song_ids, data.song_len[song_ids]
+
+    song_ids, lens = jax.vmap(one)(keys, artists)
+    tokens = data.songs[song_ids]
+    return Episode(
+        support=tokens[:, :k], support_len=lens[:, :k],
+        query=tokens[:, k:], query_len=lens[:, k:], artist=artists)
+
+
 @partial(jax.jit, static_argnames=("batch_size",))
 def sample_lm_batch(key: jax.Array, data: CorpusOnDevice,
                     song_pool: jax.Array,

@@ -32,12 +32,16 @@ def filtered_sample(key: jax.Array, logits: jax.Array, temperature,
                     top_k: int, top_p: float = 0.0) -> jax.Array:
     """Sample token ids [B] from logits [B, V].
 
-    temperature may be a traced scalar (per-request without recompiling);
+    temperature may be a traced scalar OR a per-row [B] vector (the serving
+    batcher mixes requests with different temperatures in one program);
     top_k/top_p are static.  top_k > 0 keeps the k best; top_p in (0, 1)
     additionally applies nucleus filtering (smallest set with cumulative
     probability >= top_p).  Both 0 => full ancestral sampling."""
     logits = logits.astype(jnp.float32)
-    logits = logits / jnp.maximum(jnp.float32(temperature), 1e-6)
+    temperature = jnp.asarray(temperature, jnp.float32)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    logits = logits / jnp.maximum(temperature, 1e-6)
     if top_k > 0 and top_k < logits.shape[-1]:
         vals, _ = jax.lax.top_k(logits, top_k)
         logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)

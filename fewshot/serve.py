@@ -36,52 +36,152 @@ from fewshot.data import midi as midi_mod
 from fewshot.data.lyrics import detokenize
 
 
-class Generator:
-    """Warm, lock-serialized wrapper around the jitted sampling program."""
+class _Request:
+    """One /generate call waiting for its rows of a batched device call."""
 
-    def __init__(self, cfg, corpus, params, batch_size: int | None = None):
+    __slots__ = ("num", "artist_id", "split", "seed", "temperature",
+                 "event", "toks", "artists", "latency", "error")
+
+    def __init__(self, num, artist_id, split, seed, temperature):
+        self.num = num
+        self.artist_id = artist_id
+        self.split = split
+        self.seed = seed
+        self.temperature = temperature
+        self.event = threading.Event()
+        self.toks = self.artists = self.latency = self.error = None
+
+
+class Generator:
+    """Warm wrapper around the jitted sampling program with request batching.
+
+    Concurrent /generate calls are coalesced by a collector thread: the
+    first request opens a window of `batch_deadline_ms`; whatever arrives in
+    time shares ONE device call (rows are per-request artists/seeds/
+    temperatures — all traced arguments, so mixing them costs nothing).
+    Unused rows are padded with the first request's spec.
+    """
+
+    def __init__(self, cfg, corpus, params, batch_size: int | None = None,
+                 batch_deadline_ms: float = 5.0):
+        import queue
         self.cfg = cfg
         self.corpus = corpus
         self.params = params
         self.batch = batch_size or max(4, cfg.batch_size)
+        self.deadline = batch_deadline_ms / 1e3
         self.data = eps.put_corpus(corpus)
-        self.splits = {k: jnp.asarray(v) for k, v in corpus.splits.items()}
+        self.splits = {k: np.asarray(v) for k, v in corpus.splits.items()}
         self.token_masks = None
         if cfg.dataset == "midi" and cfg.grammar_sampling and \
                 not corpus.merges:
             self.token_masks = jnp.asarray(
                 midi_mod.grammar_masks(corpus.vocab))
-        self._lock = threading.Lock()
         self._artist_index = {name: i for i, name
                               in enumerate(corpus.artist_names)}
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._carry: _Request | None = None
+        self._worker = threading.Thread(target=self._batch_worker,
+                                        daemon=True)
+        self._worker.start()
         self.warm_s = self._warmup()
 
-    def _sample(self, key, split_ids, artist_id, temperature=None):
-        if artist_id is None:
-            ep = eps.sample_episode(key, self.data, split_ids, self.batch,
-                                    k=self.cfg.support_size,
-                                    q=self.cfg.query_size)
-            support, support_len = ep.support, ep.support_len
-            artists = np.asarray(ep.artist)
+    # -- device call over fully per-row specs ---------------------------------
+
+    def _run_batch(self, artists: np.ndarray, seeds: np.ndarray,
+                   temps: np.ndarray):
+        keys = jnp.stack([
+            jax.random.fold_in(jax.random.PRNGKey(int(s)), i)
+            for i, s in enumerate(seeds)])
+        ep = eps.sample_episode_for_artists(
+            keys, self.data, jnp.asarray(artists, jnp.int32),
+            k=self.cfg.support_size, q=self.cfg.query_size)
+        toks = sampling_mod.generate(
+            self.params, ep.support, ep.support_len,
+            jax.random.PRNGKey(int(seeds[0]) + 1), self.cfg,
+            token_masks=self.token_masks,
+            temperature=jnp.asarray(temps, jnp.float32))
+        return np.asarray(jax.device_get(toks))
+
+    def _row_specs(self, req: _Request, rng: np.random.RandomState):
+        """Resolve one request into per-row (artist, seed, temp) arrays."""
+        if req.artist_id is not None:
+            artists = np.full(req.num, req.artist_id, np.int32)
         else:
-            one = jnp.asarray([artist_id], jnp.int32)
-            ep = eps.sample_episode(key, self.data, one, self.batch,
-                                    k=self.cfg.support_size,
-                                    q=self.cfg.query_size)
-            support, support_len = ep.support, ep.support_len
-            artists = np.asarray(ep.artist)
-        toks = sampling_mod.generate(self.params, support, support_len,
-                                     jax.random.fold_in(key, 1), self.cfg,
-                                     token_masks=self.token_masks,
-                                     temperature=temperature)
-        return np.asarray(jax.device_get(toks)), artists
+            pool = self.splits[req.split]
+            artists = rng.choice(pool, size=req.num).astype(np.int32)
+        seeds = np.full(req.num, req.seed, np.int64) + np.arange(req.num)
+        temp = (self.cfg.temperature if req.temperature is None
+                else req.temperature)
+        return artists, seeds, np.full(req.num, temp, np.float32)
+
+    def _batch_worker(self) -> None:
+        import queue as queue_mod
+        import time as time_mod
+        while True:
+            first = self._carry or self._queue.get()
+            self._carry = None
+            reqs = [first]
+            rows = first.num
+            deadline = time_mod.perf_counter() + self.deadline
+            while rows < self.batch:
+                remain = deadline - time_mod.perf_counter()
+                if remain <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remain)
+                except queue_mod.Empty:
+                    break
+                if rows + nxt.num > self.batch:
+                    self._carry = nxt      # runs in the next batch
+                    break
+                reqs.append(nxt)
+                rows += nxt.num
+            try:
+                specs = []
+                for r in reqs:
+                    rng = np.random.RandomState(r.seed & 0x7FFFFFFF)
+                    specs.append(self._row_specs(r, rng))
+                artists = np.concatenate([s[0] for s in specs])
+                seeds = np.concatenate([s[1] for s in specs])
+                temps = np.concatenate([s[2] for s in specs])
+                pad = self.batch - len(artists)
+                if pad > 0:
+                    artists = np.concatenate([artists,
+                                              np.repeat(artists[:1], pad)])
+                    seeds = np.concatenate([seeds, seeds[:1] + 7777
+                                            + np.arange(pad)])
+                    temps = np.concatenate([temps,
+                                            np.repeat(temps[:1], pad)])
+                t0 = time_mod.perf_counter()
+                toks = self._run_batch(artists, seeds, temps)
+                dt = time_mod.perf_counter() - t0
+                pos = 0
+                for r in reqs:
+                    r.toks = toks[pos:pos + r.num]
+                    r.artists = artists[pos:pos + r.num]
+                    r.latency = dt
+                    pos += r.num
+            except Exception as e:                        # noqa: BLE001
+                for r in reqs:
+                    r.error = e
+            finally:
+                for r in reqs:
+                    r.event.set()
 
     def _warmup(self) -> float:
         t0 = time.perf_counter()
-        split = next(iter(self.splits.values()))
-        out, _ = self._sample(jax.random.PRNGKey(0), split, None)
-        out.sum()
+        split = next(iter(self.splits))
+        self._submit(1, None, split, 0, None)
         return time.perf_counter() - t0
+
+    def _submit(self, num, artist_id, split, seed, temperature):
+        req = _Request(num, artist_id, split, seed, temperature)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req
 
     def generate(self, num: int, split: str = "test",
                  artist: str | int | None = None,
@@ -103,12 +203,8 @@ class Generator:
             raise KeyError(f"unknown split {split!r}")
         num = max(1, min(num, self.batch))
 
-        with self._lock:
-            t0 = time.perf_counter()
-            toks, artists = self._sample(
-                jax.random.PRNGKey(episode_seed), self.splits[split],
-                artist_id, temperature)
-            dt = time.perf_counter() - t0
+        req = self._submit(num, artist_id, split, episode_seed, temperature)
+        toks, artists, dt = req.toks, req.artists, req.latency
 
         out = []
         for i in range(num):

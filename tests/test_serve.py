@@ -70,3 +70,18 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert e.value.code == 404
+
+
+def test_concurrent_requests_batch(server):
+    """Concurrent mixed requests (different artists/temps) all succeed."""
+    import concurrent.futures as cf
+    payloads = [
+        {"num": 1, "split": "train", "episode_seed": i,
+         "temperature": 0.5 + 0.2 * i} for i in range(4)
+    ]
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(lambda p: _post(server, p), payloads))
+    for status, body in results:
+        assert status == 200
+        assert len(body["continuations"]) == 1
+        assert "text" in body["continuations"][0]
