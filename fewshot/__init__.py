@@ -22,3 +22,14 @@ entry points (reference layout per SURVEY.md §2, L4).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (avoid import cycles at package import)."""
+    if name == "FewShotModel":
+        from fewshot.models.base import FewShotModel
+        return FewShotModel
+    if name == "Config":
+        from fewshot.config import Config
+        return Config
+    raise AttributeError(f"module 'fewshot' has no attribute {name!r}")

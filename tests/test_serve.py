@@ -85,3 +85,22 @@ def test_concurrent_requests_batch(server):
         assert status == 200
         assert len(body["continuations"]) == 1
         assert "text" in body["continuations"][0]
+
+
+def test_num_clamped_to_batch(server):
+    status, body = _post(server, {"num": 99, "split": "train"})
+    assert status == 200
+    assert len(body["continuations"]) == 4   # server batch is 4
+
+
+def test_request_larger_than_window_carries(server):
+    """Two batch-filling requests in quick succession both complete."""
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        r1 = ex.submit(_post, server, {"num": 3, "split": "train"})
+        r2 = ex.submit(_post, server, {"num": 3, "split": "train",
+                                       "episode_seed": 5})
+        for f in (r1, r2):
+            status, body = f.result(timeout=120)
+            assert status == 200
+            assert len(body["continuations"]) == 3
