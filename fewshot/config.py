@@ -45,6 +45,10 @@ class Config:
     num_heads: int = 8
     mlp_ratio: int = 4
     remat: bool = False              # jax.checkpoint each transformer layer
+    flash: bool = False              # fused flash attention on TPU (opt-in:
+                                     # avoids materializing score tensors for
+                                     # long prefixes, but measured SLOWER at
+                                     # song-scale shapes — see ROADMAP.md)
 
     # ---- task (configs/task/*.yaml) ----
     task: str = "episodic"           # lm | episodic

@@ -113,15 +113,15 @@ def _causal_bias(mask: jax.Array | None, t: int, b: int) -> jax.Array:
 def transformer_forward(params: dict, x: jax.Array,
                         mask: jax.Array | None, cfg) -> jax.Array:
     """x [B, T, E] embeddings -> hidden [B, T, E] (pre-head)."""
+    from fewshot.ops.attention import causal_attention
     b, t, e = x.shape
     dt = _dt(cfg)
     positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-    bias = _causal_bias(mask, t, b)
     h = x.astype(dt)
 
     def block(h, layer):
         q, k, v = _qkv(layer, h, positions, cfg)
-        attn = _attend(q, k, v, bias)
+        attn = causal_attention(q, k, v, mask, cfg.flash)
         h = h + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                         preferred_element_type=jnp.float32).astype(dt)
         return h + _mlp(layer, h, cfg).astype(dt)
@@ -146,11 +146,11 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
     _, q_, lq, _ = query_x.shape
     dt = _dt(cfg)
 
+    from fewshot.ops.attention import causal_attention
     pos_p = jnp.broadcast_to(jnp.arange(p), (b, p))
     # Query songs restart positions after the prefix.
     pos_q = jnp.broadcast_to(jnp.arange(lq) + p, (b, q_, lq))
 
-    prefix_bias = _causal_bias(prefix_mask, p, b)
     # Query self-attention: causal within the song + key-padding mask.
     causal_q = jnp.where(jnp.tril(jnp.ones((lq, lq), jnp.bool_)),
                          0.0, NEG_INF)[None, None, None]
@@ -163,9 +163,10 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
     hq = query_x.astype(dt)
 
     def block(hp, hq, layer):
-        # Prefix stream (causal self-attention) — once per episode.
+        # Prefix stream (causal self-attention) — once per episode; the
+        # flash path avoids materializing the [B, h, P, P] score tensor.
         pq, pk, pv = _qkv(layer, hp, pos_p, cfg)
-        p_attn = _attend(pq, pk, pv, prefix_bias)
+        p_attn = causal_attention(pq, pk, pv, prefix_mask, cfg.flash)
         hp_next = hp + jnp.dot(p_attn.astype(dt), layer["wo"].astype(dt),
                                preferred_element_type=jnp.float32).astype(dt)
         hp_next = hp_next + _mlp(layer, hp_next, cfg).astype(dt)
@@ -229,17 +230,17 @@ def prefill(params: dict, x: jax.Array, mask: jax.Array | None, cache: dict,
     x [B, P, E], mask [B, P]; writes K/V for positions [0, P) and marks the
     valid slots.  Decode then continues from idx = P via transformer_step.
     """
+    from fewshot.ops.attention import causal_attention
     b, p, e = x.shape
     dt = _dt(cfg)
     positions = jnp.broadcast_to(jnp.arange(p), (b, p))
-    bias = _causal_bias(mask, p, b)
     h = x.astype(dt)
     ks, vs = [], []
     for layer in params["layers"]:
         q, k, v = _qkv(layer, h, positions, cfg)
         ks.append(k.astype(dt))
         vs.append(v.astype(dt))
-        attn = _attend(q, k, v, bias)
+        attn = causal_attention(q, k, v, mask, cfg.flash)
         h = h + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                         preferred_element_type=jnp.float32).astype(dt)
         h = h + _mlp(layer, h, cfg).astype(dt)
