@@ -187,6 +187,15 @@ def evaluate_main(argv=None) -> None:
                             jax.random.PRNGKey(cfg.seed),
                             num_episodes=args.episodes)
     print(f"{args.split}_nll_per_token={nll:.6f}", flush=True)
+    if corpus.merges and corpus.base_song_len is not None:
+        # BPE-token NLL isn't comparable to base-token NLL; rescale by the
+        # split-level compression ratio (exact in expectation over episodes).
+        pool = eps.split_song_pool(corpus, args.split)
+        bpe_targets = np.maximum(corpus.song_len[pool] - 1, 0).sum()
+        base_targets = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
+        ratio = float(bpe_targets) / max(float(base_targets), 1.0)
+        print(f"{args.split}_nll_per_base_token={nll * ratio:.6f} "
+              f"(split compression ratio {ratio:.3f})", flush=True)
     if args.per_artist and cfg.task == "episodic":
         # Per-artist breakdown: episodes drawn from each artist alone.  The
         # artist array is a TRACED argument so one compile serves them all.

@@ -43,6 +43,7 @@ class PackedCorpus:
     artist_names: list[str] = field(default_factory=list)
     vocab: Vocab | None = None
     merges: list = field(default_factory=list)   # BPE merge table (bpe.py)
+    base_song_len: np.ndarray | None = None      # pre-BPE lengths (+framing)
 
     @property
     def max_len(self) -> int:
@@ -98,10 +99,12 @@ class PackedCorpus:
     def save(self, corpus_dir: str | Path) -> None:
         d = Path(corpus_dir)
         d.mkdir(parents=True, exist_ok=True)
+        extra = ({"base_song_len": self.base_song_len}
+                 if self.base_song_len is not None else {})
         np.savez_compressed(
             d / "corpus.npz", songs=self.songs, song_len=self.song_len,
             song_artist=self.song_artist, artist_song_ids=self.artist_song_ids,
-            artist_num_songs=self.artist_num_songs,
+            artist_num_songs=self.artist_num_songs, **extra,
             **{f"split_{k}": v for k, v in self.splits.items()})
         (d / "meta.json").write_text(json.dumps(
             {"artist_names": self.artist_names}))
@@ -127,7 +130,9 @@ class PackedCorpus:
             merges = bpe.load_merges(d / "bpe.json")
         return cls(z["songs"], z["song_len"], z["song_artist"],
                    z["artist_song_ids"], z["artist_num_songs"], splits,
-                   meta.get("artist_names", []), vocab, merges)
+                   meta.get("artist_names", []), vocab, merges,
+                   z["base_song_len"] if "base_song_len" in z.files
+                   else None)
 
     def device_arrays(self) -> dict[str, "object"]:
         """The arrays the on-device sampler needs, as a pytree for device_put."""
@@ -161,12 +166,14 @@ def make_splits(num_artists: int, seed: int = 0,
 
 def _apply_bpe(items, vocab, bpe_merges: int):
     """Learn + apply BPE at pack time (fewshot.data.bpe).  Returns the
-    extended vocab, re-encoded items, and the merge table."""
+    extended vocab, re-encoded items, the merge table, and the pre-BPE song
+    lengths (+BOS/EOS framing) for bits-per-base-token reporting."""
     from fewshot.data import bpe
     vocab, merges = bpe.learn_bpe([ids for _, _, ids in items], vocab,
                                   bpe_merges)
+    base_len = np.asarray([len(ids) + 2 for _, _, ids in items], np.int32)
     items = [(a, s, bpe.encode(ids, merges)) for a, s, ids in items]
-    return vocab, items, merges
+    return vocab, items, merges, base_len
 
 
 def build_lyrics_corpus(csv_path: str | Path, out_dir: str | Path,
@@ -174,11 +181,12 @@ def build_lyrics_corpus(csv_path: str | Path, out_dir: str | Path,
                         seed: int = 0, bpe_merges: int = 0) -> PackedCorpus:
     rows = lyrics_mod.read_lyrics_csv(csv_path)
     vocab, items = lyrics_mod.tokenize_corpus(rows, vocab_size)
-    merges = []
+    merges, base_len = [], None
     if bpe_merges > 0:
-        vocab, items, merges = _apply_bpe(items, vocab, bpe_merges)
+        vocab, items, merges, base_len = _apply_bpe(items, vocab, bpe_merges)
     corpus = PackedCorpus.pack(items, vocab, max_len, seed)
     corpus.merges = merges
+    corpus.base_song_len = base_len
     corpus.save(out_dir)
     return corpus
 
@@ -204,10 +212,11 @@ def build_midi_corpus(midi_root: str | Path, out_dir: str | Path,
                 continue
             events = midi_mod.notes_to_events(notes)
             items.append((adir.name, mid.stem, vocab.encode(events)))
-    merges = []
+    merges, base_len = [], None
     if bpe_merges > 0:
-        vocab, items, merges = _apply_bpe(items, vocab, bpe_merges)
+        vocab, items, merges, base_len = _apply_bpe(items, vocab, bpe_merges)
     corpus = PackedCorpus.pack(items, vocab, max_len, seed)
     corpus.merges = merges
+    corpus.base_song_len = base_len
     corpus.save(out_dir)
     return corpus

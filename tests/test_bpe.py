@@ -95,3 +95,34 @@ def test_sample_cli_expands_bpe(tmp_path, capsys):
     assert len(mids) == 2
     for m in mids:
         parse_midi(m)   # must be valid SMF
+
+
+def test_evaluate_reports_base_token_nll(tmp_path, capsys):
+    from fewshot.cli import evaluate_main
+    generate_midi_corpus(tmp_path / "mid", num_artists=6,
+                         songs_per_artist=6, seed=0)
+    build_midi_corpus(tmp_path / "mid", tmp_path / "corpus", max_len=0,
+                      bpe_merges=40)
+    (tmp_path / "d.yaml").write_text(
+        f"dataset: midi\ncorpus_dir: {tmp_path / 'corpus'}\n"
+        "vocab_size: 400\nmax_len: 128\n")
+    (tmp_path / "t.yaml").write_text(
+        "task: episodic\nbatch_size: 4\nsupport_size: 2\nquery_size: 1\n"
+        "eval_episodes: 4\ndata_parallel: false\n")
+    (tmp_path / "m.yaml").write_text(
+        "model: lstm\nembed_dim: 16\nhidden_dim: 24\nnum_layers: 1\n")
+    evaluate_main(["--data", str(tmp_path / "d.yaml"),
+                   "--model", str(tmp_path / "m.yaml"),
+                   "--task", str(tmp_path / "t.yaml"),
+                   "--split", "train", "--episodes", "4"])
+    out = capsys.readouterr().out
+    assert "_nll_per_token=" in out
+    assert "_nll_per_base_token=" in out
+    lines = {l.split("=")[0]: l for l in out.splitlines() if "=" in l}
+    nll = float(lines["train_nll_per_token"].split("=")[1])
+    base_line = lines["train_nll_per_base_token"]
+    base = float(base_line.split("=")[1].split()[0])
+    ratio = float(base_line.split("ratio ")[1].rstrip(")"))
+    assert ratio < 1.0                    # BPE compressed the stream
+    # ratio printed at 3 decimals; recomputation tolerance accordingly
+    assert abs(base - nll * ratio) < 5e-3
