@@ -34,7 +34,8 @@ class Config:
     hidden_dim: int = 512
     num_layers: int = 1
     dropout: float = 0.0
-    support_mode: str = "state"      # none | state | mean_state | finetune
+    support_mode: str = "state"      # none | state | mean_state |
+                                     # attn_state | finetune
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -82,7 +83,8 @@ class Config:
     _CHOICES = {
         "dataset": ("lyrics", "midi"),
         "model": ("lstm", "transformer"),
-        "support_mode": ("none", "state", "mean_state", "finetune"),
+        "support_mode": ("none", "state", "mean_state", "attn_state",
+                         "finetune"),
         "cell": ("scan", "pallas"),
         "compute_dtype": ("float32", "bfloat16"),
         "task": ("lm", "episodic"),

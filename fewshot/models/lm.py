@@ -42,6 +42,13 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
     if cfg.model == "lstm":
         params["lstm"] = lstm_mod.init_lstm_params(k_backbone, e, h,
                                                    cfg.num_layers)
+        if cfg.support_mode == "attn_state":
+            # per-layer query vectors for attention pooling over the K
+            # per-song support states (support_state below)
+            params["support_attn"] = [
+                jax.random.normal(jax.random.fold_in(k_head, i), (h,),
+                                  jnp.float32) * 0.02
+                for i in range(cfg.num_layers)]
         out_dim = h
     else:
         params["transformer"] = tfm_mod.init_transformer_params(
@@ -184,17 +191,31 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
     parallelism per step, which is exactly the trade the hardware wants.
     Order-invariant over the support set, which episodic conditioning
     arguably should be anyway.
+
+    support_mode="attn_state": like mean_state but the pooling weights are a
+    learned attention (per-layer query vector over the K per-song states),
+    so the model can weight e.g. longer or more stylistic support songs.
     """
     b, k_, l_ = support.shape
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.support_mode == "mean_state":
+    if cfg.support_mode in ("mean_state", "attn_state"):
         flat = support.reshape(b * k_, l_)
         mask = (jnp.arange(l_) < support_len.reshape(b * k_)[:, None])
         x = embed(params, flat)
         _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
                                          compute_dtype=dt, cell=cfg.cell)
-        return [(h.reshape(b, k_, -1).mean(axis=1),
-                 c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
+        if cfg.support_mode == "mean_state":
+            return [(h.reshape(b, k_, -1).mean(axis=1),
+                     c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
+        pooled = []
+        for (h, c), q_vec in zip(state, params["support_attn"]):
+            hk = h.reshape(b, k_, -1)
+            ck = c.reshape(b, k_, -1)
+            scores = jnp.einsum("bkh,h->bk", hk, q_vec) / jnp.sqrt(
+                jnp.float32(hk.shape[-1]))
+            w = jax.nn.softmax(scores, axis=-1)[..., None]
+            pooled.append((jnp.sum(w * hk, axis=1), jnp.sum(w * ck, axis=1)))
+        return pooled
     flat = support.reshape(b, k_ * l_)
     mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
     x = embed(params, flat)
@@ -266,7 +287,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
 
     if cfg.model == "lstm":
         state = None
-        if cfg.support_mode in ("state", "mean_state"):
+        if cfg.support_mode in ("state", "mean_state", "attn_state"):
             state = support_state(params, ep.support, ep.support_len, cfg)
             # Broadcast each episode's state over its Q query songs.
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
@@ -274,7 +295,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
         logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                               state=state, dropout_key=dropout_key)
     else:
-        if cfg.support_mode in ("state", "mean_state"):
+        if cfg.support_mode in ("state", "mean_state", "attn_state"):
             bk, k_, sl = ep.support.shape
             prefix = ep.support.reshape(b, k_ * sl)
             prefix_mask = (jnp.arange(sl) <

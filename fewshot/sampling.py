@@ -70,7 +70,7 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     temp = (jnp.float32(cfg.temperature) if temperature is None
             else temperature)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.support_mode in ("state", "mean_state"):
+    if cfg.support_mode in ("state", "mean_state", "attn_state"):
         state = lm_mod.support_state(params, support, support_len, cfg)
     else:
         state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
@@ -106,7 +106,7 @@ def sample_transformer(params: dict, support: jax.Array,
     b, k_, l_ = support.shape
     temp = (jnp.float32(cfg.temperature) if temperature is None
             else temperature)
-    use_prefix = cfg.support_mode in ("state", "mean_state")
+    use_prefix = cfg.support_mode in ("state", "mean_state", "attn_state")
     prefix_len = k_ * l_ if use_prefix else 0
     max_len = prefix_len + n_tokens + 1
     cache = tfm_mod.init_kv_cache(cfg, b, max_len)
