@@ -19,9 +19,10 @@ one [Bt,H]x[H,4H] MXU matmul per step and never touches HBM for state.
 Backward: recompute-gates BPTT as a second Pallas kernel running time in
 reverse (index_map t -> T-1-p).  Residuals are the forward's (h, c)
 sequences; gate activations are recomputed from them (one extra matmul per
-step) instead of being materialized — the flash-attention trade.  dWh/db
-accumulate directly in their VMEM-resident output blocks across the whole
-grid (constant BlockSpec index), avoiding a duplicate 4MB accumulator.
+step) instead of being materialized — the flash-attention trade.  dWh/db are
+NOT accumulated in-kernel: they fall out of one bulk MXU contraction over
+the saved dzx afterwards, shedding a per-step matmul and the 4MB
+accumulator residency (which is what caps the supported hidden size).
 
 Constraint: hidden_dim % 128 == 0 (lane-aligned gate slicing).  The scan
 cell (models/lstm.py) is the fallback for other shapes.
@@ -134,22 +135,17 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
 
 def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
                 dys_ref, dhT_ref, dcT_ref,
-                dzx_ref, dwh_ref, db_ref, dh0_ref, dc0_ref,
+                dzx_ref, dh0_ref, dc0_ref,
                 dh_sc, dc_sc):
     """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
 
-    dwh/db accumulate IN the (VMEM-resident, constant-index) output blocks —
-    a separate scratch accumulator would duplicate the 4MB [H,4H] buffer and
-    blow the 16MB VMEM budget at H=512."""
-    bi = pl.program_id(0)
+    The kernel ONLY produces dzx and the initial-state grads; dWh/db fall
+    out of one bulk MXU contraction over the saved dzx afterwards
+    (_vjp_bwd), shedding a per-step matmul and the 4MB accumulator
+    residency that capped the supported hidden size."""
     p = pl.program_id(1)
     n_t = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
-
-    @pl.when(jnp.logical_and(bi == 0, p == 0))
-    def _():
-        dwh_ref[:] = jnp.zeros_like(dwh_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
 
     @pl.when(p == 0)
     def _():
@@ -183,10 +179,6 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
     dzx_ref[0] = dz.astype(dzx_ref.dtype)
-    dwh_ref[:] += jax.lax.dot_general(
-        h_prev.astype(dz.dtype), dz, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
     dh_prev = jax.lax.dot_general(
         dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
@@ -227,15 +219,11 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
         ],
         out_specs=[
             pl.BlockSpec((1, bt, four_h), rev3, **kw),     # dzx
-            pl.BlockSpec((hidden, four_h), const2, **kw),  # dwh
-            pl.BlockSpec((1, four_h), const2, **kw),       # db
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dh0
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dc0
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_, b_, four_h), st),
-            jax.ShapeDtypeStruct((hidden, four_h), f32),
-            jax.ShapeDtypeStruct((1, four_h), f32),
             jax.ShapeDtypeStruct((b_, hidden), f32),
             jax.ShapeDtypeStruct((b_, hidden), f32),
         ],
@@ -249,7 +237,7 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
             transcendentals=4 * t_ * b_ * hidden,
         ),
     )(zx, wh, b[None], mask, h_prev_seq, c_prev_seq, dys, dhT, dcT)
-    return out  # dzx, dwh, db, dh0, dc0
+    return out  # dzx, dh0, dc0
 
 
 # ---------------------------------------------------------------------------
@@ -277,9 +265,14 @@ def _vjp_bwd(res, grads):
                                  axis=0)
     c_prev_seq = jnp.concatenate([c0[None].astype(cs.dtype), cs[:-1]],
                                  axis=0)
-    dzx, dwh, db, dh0, dc0 = _bwd_call(zx, wh, b, mask, h_prev_seq,
-                                       c_prev_seq, dys, dhT, dcT)
-    return (dzx, dwh.astype(wh.dtype), db[0], jnp.zeros_like(mask),
+    dzx, dh0, dc0 = _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq,
+                              dys, dhT, dcT)
+    # Weight/bias grads as ONE bulk MXU contraction over (T, B) — cheaper
+    # than accumulating inside the sequential kernel and frees 4MB of VMEM.
+    dwh = jnp.einsum("tbh,tbg->hg", h_prev_seq, dzx,
+                     preferred_element_type=jnp.float32)
+    db = jnp.sum(dzx.astype(jnp.float32), axis=(0, 1))
+    return (dzx, dwh.astype(wh.dtype), db, jnp.zeros_like(mask),
             dh0, dc0)
 
 
@@ -297,10 +290,11 @@ def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
     if hidden % 128:
         raise ValueError(
             f"cell='pallas' requires hidden_dim % 128 == 0, got {hidden}")
-    # The backward keeps Wh (input) AND the dWh accumulator (output) VMEM-
-    # resident: 2 * H * 4H * 4 bytes.  Past ~H=640 that alone busts the
-    # 16MB budget — fall back to the lax.scan cell (XLA spills gracefully).
-    if 2 * hidden * 4 * hidden * 4 > 13 * 2 ** 20:
+    # Wh must stay VMEM-resident across the scan (4*H*H elements at the
+    # compute dtype).  Past the budget, fall back to the lax.scan cell
+    # (XLA spills gracefully).  bf16 compute doubles the supported H.
+    itemsize = 2 if compute_dtype == jnp.bfloat16 else 4
+    if hidden * 4 * hidden * itemsize > 11 * 2 ** 20:
         import warnings
         warnings.warn(
             f"cell='pallas' VMEM budget exceeded at hidden_dim={hidden}; "
