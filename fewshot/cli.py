@@ -35,7 +35,9 @@ from fewshot.utils.metrics import MetricsLogger, Throughput
 
 
 def _setup(argv, extra_flags=None):
+    from fewshot.parallel.distributed import maybe_initialize
     from fewshot.utils.cache import enable_compilation_cache
+    maybe_initialize()
     enable_compilation_cache()
     parser = argparse.ArgumentParser()
     add_config_flags(parser)
@@ -80,8 +82,11 @@ def train_main(argv=None) -> None:
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     host_mode = cfg.pipeline == "host" and cfg.task == "episodic"
     if not host_mode:
-        # device pipeline: the whole corpus is HBM-resident
-        data = eps.put_corpus(corpus)
+        # device pipeline: the whole corpus is HBM-resident (replicated over
+        # the global mesh when running multi-process)
+        from fewshot.parallel.mesh import make_mesh
+        mesh = make_mesh() if cfg.data_parallel else None
+        data = eps.put_corpus(corpus, mesh=mesh)
         train_split = _split_arg(cfg, corpus, "train")
         val_split = _split_arg(cfg, corpus, "val")
 
@@ -114,7 +119,9 @@ def train_main(argv=None) -> None:
         train_step = training.make_train_step(cfg, data, train_split)
         eval_step = training.make_eval_step(cfg, data, val_split) \
             if cfg.eval_interval else None
-    logger = MetricsLogger(args.checkpt_dir)
+    from fewshot.parallel.distributed import is_primary
+    logger = MetricsLogger(args.checkpt_dir if is_primary() else None,
+                           stdout=is_primary())
     tput = Throughput()
     tput.start()
     for _ in range(start_step, cfg.max_steps):

@@ -44,14 +44,27 @@ class CorpusOnDevice(NamedTuple):
     artist_num_songs: jax.Array  # [A]
 
 
-def put_corpus(corpus) -> CorpusOnDevice:
-    """One-time HBM upload of a PackedCorpus (or its device_arrays dict)."""
+def put_corpus(corpus, mesh=None) -> CorpusOnDevice:
+    """One-time HBM upload of a PackedCorpus (or its device_arrays dict).
+
+    With `mesh` (multi-process runs), arrays are device_put fully REPLICATED
+    over the global mesh — required so the corpus can be closed over inside
+    shard_map when jax.devices() spans hosts (process-local arrays are not
+    addressable from other hosts)."""
     d = corpus.device_arrays() if hasattr(corpus, "device_arrays") else corpus
+
+    def put(x, dtype):
+        arr = np.asarray(x, dtype)
+        if mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(arr, NamedSharding(mesh, P()))
+
     return CorpusOnDevice(
-        songs=jnp.asarray(d["songs"], jnp.int32),
-        song_len=jnp.asarray(d["song_len"], jnp.int32),
-        artist_song_ids=jnp.asarray(d["artist_song_ids"], jnp.int32),
-        artist_num_songs=jnp.asarray(d["artist_num_songs"], jnp.int32),
+        songs=put(d["songs"], np.int32),
+        song_len=put(d["song_len"], np.int32),
+        artist_song_ids=put(d["artist_song_ids"], np.int32),
+        artist_num_songs=put(d["artist_num_songs"], np.int32),
     )
 
 
