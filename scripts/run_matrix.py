@@ -53,6 +53,9 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=1500)
     p.add_argument("--out", default="RESULTS.md")
+    p.add_argument("--only", type=str, default=None,
+                   help="substring filter: run only matching configs and "
+                        "print their rows (no RESULTS.md rewrite)")
     args = p.parse_args(argv)
 
     import jax
@@ -89,7 +92,15 @@ def main(argv=None) -> None:
                    "batch_size": 16, "cell": "scan", "lr": 1e-3})),
         ("5. meta-train + on-device top-k sampling (episode-sharded)",
          lyrics, Config(**base)),
+        # fine-tune variant (SURVEY.md: LSTM baseline + fine-tune): per-
+        # episode inner SGD, vmapped; FOMAML.  Smaller batch: B parameter
+        # copies adapt in parallel.
+        ("6. fine-tune episodic lyrics (inner SGD, FOMAML)", lyrics,
+         Config(**{**base, "support_mode": "finetune", "batch_size": 16,
+                   "inner_steps": 2, "inner_lr": 0.05, "cell": "scan"})),
     ]
+    if args.only:
+        matrix = [m for m in matrix if args.only in m[0]]
 
     rows = []
     for name, corpus, cfg in matrix:
@@ -159,8 +170,12 @@ def main(argv=None) -> None:
         "| Config | final train NLL | test NLL/token (best-val ckpt) | episodes/sec |",
         "|---|---|---|---|",
     ]
-    Path(args.out).write_text("\n".join(hdr + rows) + "\n")
-    print(f"wrote {args.out}", flush=True)
+    if args.only:
+        print("(--only: rows printed above; RESULTS.md not rewritten)",
+              flush=True)
+    else:
+        Path(args.out).write_text("\n".join(hdr + rows) + "\n")
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":
