@@ -179,6 +179,9 @@ def evaluate_main(argv=None) -> None:
     data = eps.put_corpus(corpus)
     split = _split_arg(cfg, corpus, args.split)
     if args.baseline == "unigram":
+        if cfg.task != "episodic":
+            sys.exit("--baseline unigram requires task=episodic (it scores "
+                     "support-conditioned episodes)")
         from fewshot.models.unigram import evaluate_unigram
         nll = evaluate_unigram(cfg, corpus, data, split,
                                jax.random.PRNGKey(cfg.seed), args.episodes)

@@ -146,7 +146,15 @@ class PackedCorpus:
 
 def make_splits(num_artists: int, seed: int = 0,
                 fracs: dict[str, float] = SPLIT_FRACS) -> dict[str, np.ndarray]:
-    """Deterministic artist-level split (reference split script, SURVEY §2)."""
+    """Deterministic artist-level split (reference split script, SURVEY §2).
+
+    Needs >= 3 artists (one per split).  For tiny corpora where the test
+    fraction rounds to zero, test deliberately ALIASES val rather than being
+    empty — documented behavior for smoke-scale data."""
+    if num_artists < 3:
+        raise ValueError(
+            f"make_splits needs >= 3 artists for train/val/test, got "
+            f"{num_artists}")
     perm = np.random.RandomState(seed).permutation(num_artists)
     n_train = max(1, int(round(num_artists * fracs["train"])))
     n_val = max(1, int(round(num_artists * fracs["val"])))

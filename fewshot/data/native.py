@@ -79,7 +79,7 @@ def tokenize_corpus(rows, vocab_size: int):
     from collections import Counter
     from fewshot.data.vocab import UNK, Vocab
 
-    texts = [t.encode("utf-8") for _, _, t in rows]
+    texts = [_normalize(t).encode("utf-8") for _, _, t in rows]
     blob = b"".join(texts)
     n = len(blob)
     row_starts = np.zeros(len(rows), np.int32)
@@ -136,9 +136,22 @@ def tokenize_corpus(rows, vocab_size: int):
     return vocab, items
 
 
+import re
+
+_WS = re.compile(r"\s")
+
+
+def _normalize(text: str) -> str:
+    """Unicode-fold BEFORE crossing into C: Python str.lower() handles
+    non-ASCII case (the C side only folds ASCII), and Python \s includes
+    Unicode whitespace like U+00A0 (the C side only knows ASCII spaces).
+    Byte-exact parity with the pure-Python path requires doing both here."""
+    return _WS.sub(" ", text.lower())
+
+
 def tokenize_line(text: str) -> list[str]:
     """Native fewshot.data.lyrics.tokenize_line (byte-exact)."""
-    raw = text.encode("utf-8")
+    raw = _normalize(text).encode("utf-8")
     n = len(raw)
     cap = max(16, n + 1)
     lowered = ctypes.create_string_buffer(cap)

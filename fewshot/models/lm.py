@@ -296,16 +296,20 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
                               state=state, dropout_key=dropout_key)
     else:
         if cfg.support_mode in ("state", "mean_state", "attn_state"):
+            k_in = k_out = None
+            if dropout_key is not None:
+                k_in, k_out = jax.random.split(dropout_key)
             bk, k_, sl = ep.support.shape
             prefix = ep.support.reshape(b, k_ * sl)
             prefix_mask = (jnp.arange(sl) <
                            ep.support_len[..., None]).reshape(b, k_ * sl)
+            q_emb = dropout(embed(params, flat_inputs), cfg.dropout, k_in)
             hidden = tfm_mod.transformer_prefix_forward(
                 params["transformer"], embed(params, prefix), prefix_mask,
-                embed(params, flat_inputs).reshape(b, q_, l_ - 1, -1),
-                mask, cfg)
-            logits = head_logits(params, hidden.reshape(b * q_, l_ - 1, -1),
-                                 cfg)
+                q_emb.reshape(b, q_, l_ - 1, -1), mask, cfg)
+            hidden = dropout(hidden.reshape(b * q_, l_ - 1, -1),
+                             cfg.dropout, k_out)
+            logits = head_logits(params, hidden, cfg)
         else:
             logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                                   dropout_key=dropout_key)

@@ -102,14 +102,6 @@ def _mlp(layer, x, cfg):
                    preferred_element_type=jnp.float32)
 
 
-def _causal_bias(mask: jax.Array | None, t: int, b: int) -> jax.Array:
-    causal = jnp.tril(jnp.ones((t, t), jnp.bool_))
-    bias = jnp.where(causal, 0.0, NEG_INF)[None, None]
-    if mask is not None:
-        bias = bias + jnp.where(mask, 0.0, NEG_INF)[:, None, None, :]
-    return bias
-
-
 def transformer_forward(params: dict, x: jax.Array,
                         mask: jax.Array | None, cfg) -> jax.Array:
     """x [B, T, E] embeddings -> hidden [B, T, E] (pre-head)."""

@@ -54,6 +54,9 @@ def filtered_sample(key: jax.Array, logits: jax.Array, temperature,
         cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf),
                          axis=-1, keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    if key.ndim == 2:     # per-row keys: draws independent of batch layout
+        return jax.vmap(lambda kk, lg: jax.random.categorical(kk, lg))(
+            key, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 
@@ -70,6 +73,10 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     temp = (jnp.float32(cfg.temperature) if temperature is None
             else temperature)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # Per-ROW keys throughout: a row's draws depend only on its own key,
+    # never on its position in the batch (the serving batcher coalesces
+    # unrelated requests into one call).
+    keys = key if key.ndim == 2 else jax.random.split(key, b)
     if cfg.support_mode in ("state", "mean_state", "attn_state"):
         state = lm_mod.support_state(params, support, support_len, cfg)
     else:
@@ -77,7 +84,8 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
 
     def step(carry, _):
         state, tok, done, phase, key = carry
-        key, sub = jax.random.split(key)
+        split2 = jax.vmap(lambda k: jax.random.split(k))(key)
+        key, sub = split2[:, 0], split2[:, 1]
         x = lm_mod.embed(params, tok)
         h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
         logits = lm_mod.head_logits(params, h, cfg)
@@ -91,7 +99,7 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
         return (state, nxt, done, phase, key), nxt
 
     init = (state, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), key)
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), keys)
     _, toks = jax.lax.scan(step, init, None, length=n_tokens)
     return jnp.swapaxes(toks, 0, 1)                     # [B, n]
 
@@ -106,6 +114,7 @@ def sample_transformer(params: dict, support: jax.Array,
     b, k_, l_ = support.shape
     temp = (jnp.float32(cfg.temperature) if temperature is None
             else temperature)
+    keys = key if key.ndim == 2 else jax.random.split(key, b)
     use_prefix = cfg.support_mode in ("state", "mean_state", "attn_state")
     prefix_len = k_ * l_ if use_prefix else 0
     max_len = prefix_len + n_tokens + 1
@@ -120,7 +129,8 @@ def sample_transformer(params: dict, support: jax.Array,
 
     def step(carry, i):
         cache, tok, done, phase, key = carry
-        key, sub = jax.random.split(key)
+        split2 = jax.vmap(lambda k: jax.random.split(k))(key)
+        key, sub = split2[:, 0], split2[:, 1]
         x = lm_mod.embed(params, tok)
         h, cache = tfm_mod.transformer_step(tparams, x, cache,
                                             prefix_len + i, cfg)
@@ -135,21 +145,68 @@ def sample_transformer(params: dict, support: jax.Array,
         return (cache, nxt, done, phase, key), nxt
 
     init = (cache, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), key)
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), keys)
     _, toks = jax.lax.scan(step, init, jnp.arange(n_tokens))
     return jnp.swapaxes(toks, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _finetune_adapt(params: dict, support: jax.Array,
+                    support_len: jax.Array, cfg):
+    """Per-episode inner SGD on the support set -> stacked adapted params
+    [B, ...] (mirrors models.lm.finetune_episodic_nll_stats's inner loop)."""
+    from fewshot.models.lm import lm_logits, sequence_nll, shift_targets
+
+    def adapt(sup, slen):
+        def support_loss(p):
+            inputs, targets, mask = shift_targets(sup, slen)
+            logits, _ = lm_logits(p, inputs, cfg, mask=mask)
+            return sequence_nll(logits, targets, mask)
+        p = params
+        for _ in range(cfg.inner_steps):
+            g = jax.grad(support_loss)(p)
+            p = jax.tree.map(lambda w, gw: w - cfg.inner_lr * gw, p, g)
+        return p
+
+    return jax.vmap(adapt)(support, support_len)
 
 
 def generate(params: dict, support: jax.Array, support_len: jax.Array,
              key: jax.Array, cfg, n_tokens: int | None = None,
              token_masks: jax.Array | None = None,
              temperature=None) -> jax.Array:
-    """temperature: optional traced scalar overriding cfg.temperature —
-    per-request control with zero recompiles (the jitted samplers take it
-    as a data argument)."""
+    """Support-conditioned continuations.
+
+    key: a single PRNG key OR a [B, 2] batch of per-row keys; with per-row
+    keys, row i's continuation depends only on its own key (batching-
+    position invariant — the serving batcher relies on this).
+    temperature: optional traced scalar or [B] vector overriding
+    cfg.temperature — per-request control with zero recompiles.
+
+    support_mode="finetune": the support set conditions generation by
+    per-episode inner SGD (as in training/eval), then each episode samples
+    under its own adapted parameters (vmapped)."""
     n = n_tokens if n_tokens is not None else cfg.sample_tokens
     fn = sample_lstm if cfg.model == "lstm" else sample_transformer
     if temperature is not None:
         temperature = jnp.asarray(temperature, jnp.float32)
+
+    if cfg.support_mode == "finetune":
+        b = support.shape[0]
+        adapted = _finetune_adapt(params, support, support_len, cfg)
+        keys = key if key.ndim == 2 else jax.random.split(key, b)
+        temps = (None if temperature is None
+                 else jnp.broadcast_to(temperature, (b,)))
+
+        def one(p_row, sup_row, slen_row, key_row, temp_row):
+            t = None if temps is None else temp_row[None]
+            return fn(p_row, sup_row[None], slen_row[None], key_row[None],
+                      cfg, n, token_masks, t)[0]
+
+        if temps is None:
+            return jax.vmap(lambda p, su, sl, k: one(p, su, sl, k, None))(
+                adapted, support, support_len, keys)
+        return jax.vmap(one)(adapted, support, support_len, keys, temps)
+
     return fn(params, support, support_len, key, cfg, n, token_masks,
               temperature)

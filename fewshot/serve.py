@@ -90,15 +90,20 @@ class Generator:
 
     def _run_batch(self, artists: np.ndarray, seeds: np.ndarray,
                    temps: np.ndarray):
-        keys = jnp.stack([
-            jax.random.fold_in(jax.random.PRNGKey(int(s)), i)
-            for i, s in enumerate(seeds)])
+        # Every key derives from the ROW's own seed (never its position in
+        # the coalesced batch and never a neighbor's seed), so a request's
+        # output is identical whether it ran alone or got batched.
+        ep_keys = jnp.stack([
+            jax.random.fold_in(jax.random.PRNGKey(int(s)), 0)
+            for s in seeds])
+        gen_keys = jnp.stack([
+            jax.random.fold_in(jax.random.PRNGKey(int(s)), 1)
+            for s in seeds])
         ep = eps.sample_episode_for_artists(
-            keys, self.data, jnp.asarray(artists, jnp.int32),
+            ep_keys, self.data, jnp.asarray(artists, jnp.int32),
             k=self.cfg.support_size, q=self.cfg.query_size)
         toks = sampling_mod.generate(
-            self.params, ep.support, ep.support_len,
-            jax.random.PRNGKey(int(seeds[0]) + 1), self.cfg,
+            self.params, ep.support, ep.support_len, gen_keys, self.cfg,
             token_masks=self.token_masks,
             temperature=jnp.asarray(temps, jnp.float32))
         return np.asarray(jax.device_get(toks))

@@ -81,3 +81,23 @@ def test_meta_training_runs(tiny_corpus):
         first = first if first is not None else float(m["loss"])
     assert np.isfinite(float(m["loss"]))
     assert float(m["loss"]) < first
+
+
+def test_finetune_sampling_uses_support():
+    """Generation under support_mode=finetune must adapt to the support —
+    different supports give different greedy continuations, same support is
+    reproducible."""
+    from fewshot import sampling
+    cfg = dataclasses.replace(CFG, top_k=1, sample_tokens=10,
+                              inner_steps=2, inner_lr=0.5)
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    rng = np.random.RandomState(0)
+    s1 = jnp.asarray(rng.randint(4, 64, (1, 2, 10)), jnp.int32)
+    s2 = jnp.asarray(rng.randint(4, 64, (1, 2, 10)), jnp.int32)
+    slen = jnp.full((1, 2), 10, jnp.int32)
+    t1 = sampling.generate(params, s1, slen, jax.random.PRNGKey(1), cfg)
+    t1b = sampling.generate(params, s1, slen, jax.random.PRNGKey(2), cfg)
+    t2 = sampling.generate(params, s2, slen, jax.random.PRNGKey(1), cfg)
+    assert t1.shape == (1, 10)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))  # greedy
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))

@@ -128,3 +128,25 @@ def test_corpus_pass_matches_python(native, tmp_path):
     for (a1, s1, ids1), (a2, s2, ids2) in zip(items_nat, items_py):
         assert (a1, s1) == (a2, s2)
         assert ids1 == ids2
+
+
+def test_unicode_case_and_whitespace_parity(native):
+    """Non-ASCII uppercase + exotic whitespace must match the Python path."""
+    from fewshot.data.lyrics import tokenize_line
+    texts = ["CAFÉ Déjà VU", "non breaking space", "İstanbul Ärger ß",
+             "mixed em space and\ttabs"]
+    for t in texts:
+        assert native.tokenize_line(t) == tokenize_line(t), t
+    rows = [("a", "s", t) for t in texts]
+    v_nat, items_nat = native.tokenize_corpus(rows, 64)
+    import fewshot.data.lyrics as L
+    from collections import Counter
+    from fewshot.data.vocab import Vocab
+    toks = [L.tokenize_line(t) for t in texts]
+    c = Counter()
+    for tk in toks:
+        c.update(tk)
+    v_py = Vocab.build(c, 64)
+    assert v_nat.tokens == v_py.tokens
+    for (_, _, ids), tk in zip(items_nat, toks):
+        assert ids == v_py.encode(tk)

@@ -104,3 +104,27 @@ def test_request_larger_than_window_carries(server):
             status, body = f.result(timeout=120)
             assert status == 200
             assert len(body["continuations"]) == 3
+
+
+def test_seed_reproducible_regardless_of_batching(server):
+    """A request's output must not depend on what it was coalesced with."""
+    import concurrent.futures as cf
+    ref_status, ref = _post(server, {"num": 1, "split": "train",
+                                     "episode_seed": 42})
+    assert ref_status == 200
+    # same request re-sent amid concurrent noise
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+        noise1 = ex.submit(_post, server, {"num": 2, "split": "train",
+                                           "episode_seed": 7})
+        target = ex.submit(_post, server, {"num": 1, "split": "train",
+                                           "episode_seed": 42})
+        noise2 = ex.submit(_post, server, {"num": 1, "split": "train",
+                                           "episode_seed": 9,
+                                           "temperature": 0.4})
+        for f in (noise1, noise2):
+            f.result(timeout=120)
+        status, got = target.result(timeout=120)
+    assert status == 200
+    assert got["continuations"][0]["text"] == ref["continuations"][0]["text"]
+    assert got["continuations"][0]["artist"] == \
+        ref["continuations"][0]["artist"]
