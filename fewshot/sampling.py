@@ -82,10 +82,13 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     else:
         state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
 
-    def step(carry, _):
-        state, tok, done, phase, key = carry
-        split2 = jax.vmap(lambda k: jax.random.split(k))(key)
-        key, sub = split2[:, 0], split2[:, 1]
+    # all per-step per-row keys in ONE batched threefry op (a per-step
+    # vmapped split halved generation throughput)
+    step_keys = jnp.swapaxes(
+        jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
+
+    def step(carry, sub):
+        state, tok, done, phase = carry
         x = lm_mod.embed(params, tok)
         h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
         logits = lm_mod.head_logits(params, h, cfg)
@@ -96,11 +99,11 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
         phase = jnp.where(done, phase, (phase + 1) % n_phases)
-        return (state, nxt, done, phase, key), nxt
+        return (state, nxt, done, phase), nxt
 
     init = (state, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), keys)
-    _, toks = jax.lax.scan(step, init, None, length=n_tokens)
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32))
+    _, toks = jax.lax.scan(step, init, step_keys)
     return jnp.swapaxes(toks, 0, 1)                     # [B, n]
 
 
@@ -127,10 +130,12 @@ def sample_transformer(params: dict, support: jax.Array,
         cache = tfm_mod.prefill(tparams, lm_mod.embed(params, flat), mask,
                                 cache, cfg)
 
-    def step(carry, i):
-        cache, tok, done, phase, key = carry
-        split2 = jax.vmap(lambda k: jax.random.split(k))(key)
-        key, sub = split2[:, 0], split2[:, 1]
+    step_keys = jnp.swapaxes(
+        jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
+
+    def step(carry, xs):
+        i, sub = xs
+        cache, tok, done, phase = carry
         x = lm_mod.embed(params, tok)
         h, cache = tfm_mod.transformer_step(tparams, x, cache,
                                             prefix_len + i, cfg)
@@ -142,11 +147,11 @@ def sample_transformer(params: dict, support: jax.Array,
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
         phase = jnp.where(done, phase, (phase + 1) % n_phases)
-        return (cache, nxt, done, phase, key), nxt
+        return (cache, nxt, done, phase), nxt
 
     init = (cache, jnp.full((b,), BOS, jnp.int32),
-            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32), keys)
-    _, toks = jax.lax.scan(step, init, jnp.arange(n_tokens))
+            jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32))
+    _, toks = jax.lax.scan(step, init, (jnp.arange(n_tokens), step_keys))
     return jnp.swapaxes(toks, 0, 1)
 
 
