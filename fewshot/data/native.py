@@ -142,7 +142,7 @@ _WS = re.compile(r"\s")
 
 
 def _normalize(text: str) -> str:
-    """Unicode-fold BEFORE crossing into C: Python str.lower() handles
+    r"""Unicode-fold BEFORE crossing into C: Python str.lower() handles
     non-ASCII case (the C side only folds ASCII), and Python \s includes
     Unicode whitespace like U+00A0 (the C side only knows ASCII spaces).
     Byte-exact parity with the pure-Python path requires doing both here."""
