@@ -71,3 +71,15 @@ def test_fed_train_step_sharded(tiny_corpus):
         assert float(m["tokens"]) > 0
     finally:
         pipe.close()
+
+
+def test_evaluate_fed(tiny_corpus):
+    pipe = HostEpisodePipeline(tiny_corpus, "val", batch_size=8, k=2, q=2,
+                               seed=3)
+    try:
+        state = training.init_train_state(CFG, 64)
+        nll = training.evaluate_fed(CFG, state.params, pipe,
+                                    num_episodes=16)
+        assert 0 < nll < np.log(64) + 1   # untrained ~ uniform
+    finally:
+        pipe.close()
