@@ -8,8 +8,9 @@ north-star target of >=50x episodes/sec at matched NLL (BASELINE.json:5).
 
 The benched step is the REAL training step: on-device episode sampling fused
 with forward+backward+Adam in one XLA program (fewshot/training.py), at the
-reference's canonical 5-shot shape (K=Q=5, max_len=256, embed 256, hidden
-512, 2 layers — BASELINE.json:2,7).  Batch size 32 episodes/step on one chip.
+reference's canonical 5-shot shape (K=Q=5, embed 256, hidden 512, 2 layers —
+BASELINE.json:2,7) on the tight-packed L=96 bench corpus (see BENCH_CORPUS
+note below).  Batch size 32 episodes/step on one chip.
 
 Env knobs: BENCH_CELL=scan|pallas (default pallas), BENCH_STEPS, BENCH_BATCH.
 """

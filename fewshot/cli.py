@@ -76,11 +76,17 @@ def train_main(argv=None) -> None:
         p.add_argument("--debug_nans", action="store_true",
                        help="enable jax_debug_nans (SURVEY.md §6 sanitizer "
                             "analogue); fails fast on the first NaN")
+        p.add_argument("--tensorboard", action="store_true",
+                       help="also write TensorBoard scalars under "
+                            "<checkpt_dir>/tb (SURVEY.md §6 observability)")
     args, cfg, corpus = _setup(argv, flags)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
-    host_mode = cfg.pipeline == "host" and cfg.task == "episodic"
+    if cfg.pipeline == "host" and cfg.task != "episodic":
+        sys.exit("pipeline: host supports only task: episodic — use "
+                 "pipeline: device for plain-LM training (task: lm)")
+    host_mode = cfg.pipeline == "host"
     if not host_mode:
         # device pipeline: the whole corpus is HBM-resident (replicated over
         # the global mesh when running multi-process)
@@ -104,9 +110,13 @@ def train_main(argv=None) -> None:
         mesh = make_mesh() if cfg.data_parallel else None
         sharding = (NamedSharding(mesh, P(AXIS))
                     if mesh is not None else None)
+        # Fold the restored step into the seed so a resumed run draws FRESH
+        # episodes instead of replaying the already-trained sequence (the
+        # fused device path gets this for free by checkpointing the key).
         pipe = HostEpisodePipeline(corpus, "train", cfg.batch_size,
                                    cfg.support_size, cfg.query_size,
-                                   seed=cfg.seed, sharding=sharding)
+                                   seed=cfg.seed + start_step,
+                                   sharding=sharding)
         train_step = training.make_fed_train_step(cfg, mesh=mesh)
         if cfg.eval_interval:
             val_pipe = HostEpisodePipeline(
@@ -116,21 +126,23 @@ def train_main(argv=None) -> None:
         else:
             eval_step = None
     else:
-        train_step = training.make_train_step(cfg, data, train_split)
-        eval_step = training.make_eval_step(cfg, data, val_split) \
+        train_step = training.make_train_step(cfg, data, train_split,
+                                              mesh=mesh)
+        eval_step = training.make_eval_step(cfg, data, val_split, mesh=mesh) \
             if cfg.eval_interval else None
     from fewshot.parallel.distributed import is_primary
     logger = MetricsLogger(args.checkpt_dir if is_primary() else None,
-                           stdout=is_primary())
+                           stdout=is_primary(), tensorboard=args.tensorboard)
     tput = Throughput()
     tput.start()
-    for _ in range(start_step, cfg.max_steps):
-        step_next = int(state.step) + 1
-        if args.profile_dir and step_next == 10:
+    # `step` is tracked on the HOST: reading state.step each iteration would
+    # block on the just-dispatched device step and serialize host dispatch
+    # with device compute (advisor finding r1).
+    for step in range(start_step + 1, cfg.max_steps + 1):
+        if args.profile_dir and step == 10:
             jax.profiler.start_trace(args.profile_dir)
         state, metrics = (train_step(state, next(pipe)) if pipe is not None
                           else train_step(state))
-        step = int(state.step)
         if args.profile_dir and step == 20:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
@@ -176,7 +188,12 @@ def evaluate_main(argv=None) -> None:
         p.add_argument("--per_artist", action="store_true",
                        help="also print NLL broken down by artist")
     args, cfg, corpus = _setup(argv, flags)
-    data = eps.put_corpus(corpus)
+    # Same global-mesh treatment as train_main: the corpus must be replicated
+    # over the GLOBAL mesh for multi-process runs, and eval batches are
+    # sharded (psum'd ce_sum/count) so hosts split the work.
+    from fewshot.parallel.mesh import make_mesh
+    mesh = make_mesh() if cfg.data_parallel else None
+    data = eps.put_corpus(corpus, mesh=mesh)
     split = _split_arg(cfg, corpus, args.split)
     if args.baseline == "unigram":
         if cfg.task != "episodic":
@@ -195,7 +212,7 @@ def evaluate_main(argv=None) -> None:
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
     nll = training.evaluate(cfg, state.params, data, split,
                             jax.random.PRNGKey(cfg.seed),
-                            num_episodes=args.episodes)
+                            num_episodes=args.episodes, mesh=mesh)
     print(f"{args.split}_nll_per_token={nll:.6f}", flush=True)
     if corpus.merges and corpus.base_song_len is not None:
         # BPE-token NLL isn't comparable to base-token NLL; rescale by the
@@ -240,7 +257,11 @@ def sample_main(argv=None) -> None:
         p.add_argument("--split", default="test",
                        choices=("train", "val", "test"))
     args, cfg, corpus = _setup(argv, flags)
-    data = eps.put_corpus(corpus)
+    # Multi-process runs compute the SAME replicated samples on every host
+    # (deterministic given the key); only the primary writes files.
+    from fewshot.parallel.mesh import make_mesh
+    mesh = make_mesh() if cfg.data_parallel else None
+    data = eps.put_corpus(corpus, mesh=mesh)
     split = _split_arg(cfg, corpus, args.split)
     state = training.init_train_state(cfg, len(corpus.vocab))
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
@@ -260,6 +281,9 @@ def sample_main(argv=None) -> None:
                                  k_gen, cfg, token_masks=token_masks)
     toks = np.asarray(jax.device_get(toks))
 
+    from fewshot.parallel.distributed import is_primary
+    if not is_primary():
+        return
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     for i in range(args.num):

@@ -68,12 +68,12 @@ def put_corpus(corpus, mesh=None) -> CorpusOnDevice:
     )
 
 
-def _sample_one(key: jax.Array, data: CorpusOnDevice, split_artists: jax.Array,
-                n_songs: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """One episode's song ids: (song_ids [n_songs], lengths, artist)."""
-    k_artist, k_gumbel, k_fallback = jax.random.split(key, 3)
-    artist = split_artists[
-        jax.random.randint(k_artist, (), 0, split_artists.shape[0])]
+def _choose_songs(k_gumbel: jax.Array, k_fallback: jax.Array,
+                  data: CorpusOnDevice, artist: jax.Array,
+                  n_songs: int) -> tuple[jax.Array, jax.Array]:
+    """Without-replacement song choice for one artist (the ONE impl shared
+    by training and serving, so episode semantics can't drift between the
+    two paths).  Returns (song_ids [n_songs], lengths [n_songs])."""
     row = data.artist_song_ids[artist]                     # [M]
     n = data.artist_num_songs[artist]                      # scalar
     m = row.shape[0]
@@ -89,7 +89,18 @@ def _sample_one(key: jax.Array, data: CorpusOnDevice, split_artists: jax.Array,
     slots = jnp.where(jnp.arange(n_songs) < n, slots, fallback)
 
     song_ids = row[slots]
-    return song_ids, data.song_len[song_ids], artist
+    return song_ids, data.song_len[song_ids]
+
+
+def _sample_one(key: jax.Array, data: CorpusOnDevice, split_artists: jax.Array,
+                n_songs: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One episode's song ids: (song_ids [n_songs], lengths, artist)."""
+    k_artist, k_gumbel, k_fallback = jax.random.split(key, 3)
+    artist = split_artists[
+        jax.random.randint(k_artist, (), 0, split_artists.shape[0])]
+    song_ids, lens = _choose_songs(k_gumbel, k_fallback, data, artist,
+                                   n_songs)
+    return song_ids, lens, artist
 
 
 @partial(jax.jit, static_argnames=("batch_size", "k", "q"))
@@ -128,17 +139,7 @@ def sample_episode_for_artists(keys: jax.Array, data: CorpusOnDevice,
     sample_episode (Gumbel top-k without replacement)."""
     def one(key, artist):
         k_gumbel, k_fallback = jax.random.split(key)
-        row = data.artist_song_ids[artist]
-        n = data.artist_num_songs[artist]
-        m = row.shape[0]
-        gumbel = jax.random.gumbel(k_gumbel, (m,))
-        scores = jnp.where(jnp.arange(m) < n, gumbel, -jnp.inf)
-        _, slots = jax.lax.top_k(scores, k + q)
-        fallback = jax.random.randint(k_fallback, (k + q,), 0,
-                                      jnp.maximum(n, 1))
-        slots = jnp.where(jnp.arange(k + q) < n, slots, fallback)
-        song_ids = row[slots]
-        return song_ids, data.song_len[song_ids]
+        return _choose_songs(k_gumbel, k_fallback, data, artist, k + q)
 
     song_ids, lens = jax.vmap(one)(keys, artists)
     tokens = data.songs[song_ids]

@@ -41,18 +41,20 @@ def read_lyrics_csv(path: str | Path) -> list[tuple[str, str, str]]:
 
 
 def tokenize_corpus(
-    rows: list[tuple[str, str, str]], vocab_size: int
+    rows: list[tuple[str, str, str]], vocab_size: int, native: bool = True
 ) -> tuple[Vocab, list[tuple[str, str, list[int]]]]:
     """Tokenize all songs, build the top-N vocab, encode to int ids.
 
     Returns (vocab, [(artist, song, ids)]) where ids exclude BOS/EOS —
     the packer adds framing so max_len accounting lives in one place.
     Uses the native tokenizer (fewshot.data.native) when built — byte-exact,
-    just faster on large corpora.
+    just faster on large corpora.  `native=False` forces the pure-Python
+    reference path (used as the native tier's capacity-overflow fallback).
     """
-    from fewshot.data import native
-    if native.available():
-        return native.tokenize_corpus(rows, vocab_size)
+    if native:
+        from fewshot.data import native as native_mod
+        if native_mod.available():
+            return native_mod.tokenize_corpus(rows, vocab_size)
     tokenized = [(a, s, tokenize_line(t)) for a, s, t in rows]
     counter: Counter = Counter()
     for _, _, toks in tokenized:

@@ -99,12 +99,13 @@ def _parse_track(data: bytes):
             status = 0
         else:
             kind = status & 0xF0
+            chan = status & 0x0F
             if kind in (0x80, 0x90, 0xA0, 0xB0, 0xE0):
                 d1, d2 = cur.u8(), cur.u8()
                 if kind == 0x90 and d2 > 0:
-                    yield tick, "on", (d1, d2)
+                    yield tick, "on", (d1, d2, chan)
                 elif kind == 0x80 or (kind == 0x90 and d2 == 0):
-                    yield tick, "off", (d1,)
+                    yield tick, "off", (d1, chan)
             elif kind in (0xC0, 0xD0):
                 cur.u8()
             else:
@@ -147,13 +148,17 @@ def parse_midi(path: str | Path) -> list[Note]:
             prev_tick, tempo = t, tp
         return sec + (tick - prev_tick) * tempo / (tpq * 1e6)
 
+    # FIFO pairing keyed by (channel, pitch): a note-off only terminates a
+    # note-on from its OWN channel (pretty_midi pairs per instrument; a
+    # global-pitch key gave wrong durations on multi-channel files).
     notes: list[Note] = []
-    open_notes: dict[int, list[tuple[int, int]]] = {}
+    open_notes: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for tick, kind, args in events:
         if kind == "on":
-            open_notes.setdefault(args[0], []).append((tick, args[1]))
-        elif kind == "off" and open_notes.get(args[0]):
-            on_tick, vel = open_notes[args[0]].pop(0)
+            open_notes.setdefault((args[2], args[0]), []).append(
+                (tick, args[1]))
+        elif kind == "off" and open_notes.get((args[1], args[0])):
+            on_tick, vel = open_notes[(args[1], args[0])].pop(0)
             if tick > on_tick:
                 notes.append(Note(tick_to_sec(on_tick), tick_to_sec(tick),
                                   args[0], vel))

@@ -100,8 +100,21 @@ def tokenize_corpus(rows, vocab_size: int):
         blob, n, lowered, _i32(row_starts), _i32(row_ends), len(rows),
         tok_buf, n + 16, _i32(tok_offsets),
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap_unique)
-    if n_unique < 0:  # pragma: no cover
-        raise RuntimeError("fd_count_corpus: capacity exceeded")
+    if n_unique < 0:
+        # Unique-token table exceeded the heuristic cap (degenerate corpora
+        # of mostly 1-2 byte tokens): retry at the true upper bound — every
+        # token is >= 1 byte, so n_unique <= n.
+        cap_unique = n + 16
+        tok_offsets = np.zeros(cap_unique + 1, np.int32)
+        counts = np.zeros(cap_unique, np.int64)
+        n_unique = LIB.fd_count_corpus(
+            blob, n, lowered, _i32(row_starts), _i32(row_ends), len(rows),
+            tok_buf, n + 16, _i32(tok_offsets),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap_unique)
+    if n_unique < 0:  # pragma: no cover - n+16 bounds both capacities
+        from fewshot.data import lyrics
+        return lyrics.tokenize_corpus(rows, vocab_size, native=False)
     raw = tok_buf.raw
     counter = Counter({
         raw[tok_offsets[i]:tok_offsets[i + 1]].decode("utf-8",

@@ -271,8 +271,12 @@ def make_handler(gen: Generator):
                 self._reply(200, {"continuations": outs})
             except KeyError as e:
                 self._reply(400, {"error": str(e)})
-            except (ValueError, json.JSONDecodeError) as e:
+            except (TypeError, ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
+            except Exception as e:                        # noqa: BLE001
+                # malformed bodies / device-side failures must still get an
+                # HTTP response, never a dropped connection
+                self._reply(500, {"error": f"internal error: {e}"})
 
     return Handler
 

@@ -209,24 +209,50 @@ def evaluate_fed(cfg, params, pipe, num_episodes: int | None = None,
     return total / max(count, 1.0)
 
 
-def make_eval_step(cfg, data: CorpusOnDevice, split_artists):
-    """Jitted eval: (params, key) -> (ce_sum, token_count) on one batch."""
-    @jax.jit
-    def eval_step(params, key):
-        return _loss_stats(params, cfg, data, split_artists, key,
-                           cfg.batch_size)
-    return eval_step
+def make_eval_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
+    """Jitted eval: (params, key) -> (ce_sum, token_count) on one batch.
+
+    With `mesh`, each chip evaluates batch_size/n_chips episodes from its
+    own PRNG fold and the (ce_sum, count) pair is psum'd — the exact-masked
+    aggregation stays correct under sharding, and multi-host eval does 1/N
+    of the work per host instead of replicating it."""
+    if mesh is None:
+        @jax.jit
+        def eval_step(params, key):
+            return _loss_stats(params, cfg, data, split_artists, key,
+                               cfg.batch_size)
+        return eval_step
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from fewshot.parallel.mesh import AXIS
+    n_shards = mesh.devices.size
+    if cfg.batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {n_shards} chips")
+    local_batch = cfg.batch_size // n_shards
+
+    def local_eval(params, key):
+        idx = jax.lax.axis_index(AXIS)
+        t, c = _loss_stats(params, cfg, data, split_artists,
+                           jax.random.fold_in(key, idx), local_batch)
+        return jax.lax.psum(t, AXIS), jax.lax.psum(c, AXIS)
+
+    sharded = shard_map(local_eval, mesh=mesh, in_specs=(P(), P()),
+                        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded)
 
 
 def evaluate(cfg, params, data: CorpusOnDevice, split_artists, key,
-             num_episodes: int | None = None, eval_step=None) -> float:
+             num_episodes: int | None = None, eval_step=None,
+             mesh=None) -> float:
     """Average query NLL/token over N eval episodes (SURVEY.md §4.2).
 
     Pass a prebuilt `eval_step` (make_eval_step) when calling repeatedly —
     a fresh closure per call would retrace/recompile every time."""
     n = num_episodes if num_episodes is not None else cfg.eval_episodes
     step = eval_step if eval_step is not None else \
-        make_eval_step(cfg, data, split_artists)
+        make_eval_step(cfg, data, split_artists, mesh=mesh)
     n_batches = max(1, n // cfg.batch_size)
     total, count = 0.0, 0.0
     for i in range(n_batches):

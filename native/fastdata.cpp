@@ -231,7 +231,8 @@ struct Cursor {
     void skip(uint32_t n) { pos = (pos + (int32_t)n > len) ? len : pos + n; }
 };
 
-struct Ev { int64_t tick; int kind; int d1; int d2; };  // kind 0=off 1=on 2=tempo
+// kind 0=off 1=on 2=tempo; ch = MIDI channel (status low nibble)
+struct Ev { int64_t tick; int kind; int d1; int d2; int ch; };
 
 }  // namespace
 
@@ -271,7 +272,7 @@ extern "C" int fd_parse_smf(const uint8_t* data, int32_t len, double* starts,
                 if (mtype == 0x51 && mlen == 3) {
                     int tempo = (c.u8() << 16); tempo |= (c.u8() << 8);
                     tempo |= c.u8();
-                    evs.push_back({tick, 2, tempo, 0});
+                    evs.push_back({tick, 2, tempo, 0, 0});
                 } else c.skip(mlen);
                 status = 0;
             } else if (status == 0xF0 || status == 0xF7) {
@@ -279,13 +280,14 @@ extern "C" int fd_parse_smf(const uint8_t* data, int32_t len, double* starts,
                 status = 0;
             } else {
                 uint8_t kind = status & 0xF0;
+                int ch = status & 0x0F;
                 if (kind == 0x80 || kind == 0x90 || kind == 0xA0 ||
                     kind == 0xB0 || kind == 0xE0) {
                     uint8_t d1 = c.u8(), d2 = c.u8();
                     if (kind == 0x90 && d2 > 0)
-                        evs.push_back({tick, 1, d1, d2});
+                        evs.push_back({tick, 1, d1, d2, ch});
                     else if (kind == 0x80 || (kind == 0x90 && d2 == 0))
-                        evs.push_back({tick, 0, d1, 0});
+                        evs.push_back({tick, 0, d1, 0, ch});
                 } else if (kind == 0xC0 || kind == 0xD0) {
                     c.u8();
                 } else return -1;
@@ -313,15 +315,18 @@ extern "C" int fd_parse_smf(const uint8_t* data, int32_t len, double* starts,
         return sec + (double)(tick - prev) * cur / (tpq * 1e6);
     };
 
+    // FIFO pairing keyed by (channel, pitch) — kept in lockstep with the
+    // Python parser (fewshot/data/midi.py) for the byte-for-byte parity test.
     struct Note { double s, e; int p, v; };
     std::vector<Note> notes;
-    std::vector<std::vector<std::pair<int64_t, int>>> open(128);
+    std::vector<std::vector<std::pair<int64_t, int>>> open(16 * 128);
     for (auto& e : evs) {
+        int key = e.ch * 128 + e.d1;
         if (e.kind == 1) {
-            open[e.d1].push_back({e.tick, e.d2});
-        } else if (e.kind == 0 && !open[e.d1].empty()) {
-            auto [on_tick, vel] = open[e.d1].front();
-            open[e.d1].erase(open[e.d1].begin());
+            open[key].push_back({e.tick, e.d2});
+        } else if (e.kind == 0 && !open[key].empty()) {
+            auto [on_tick, vel] = open[key].front();
+            open[key].erase(open[key].begin());
             if (e.tick > on_tick)
                 notes.push_back({tick_to_sec(on_tick), tick_to_sec(e.tick),
                                  e.d1, vel});

@@ -89,6 +89,18 @@ def test_vocab_cap_guard(workspace, tmp_path):
         evaluate_main(["--data", str(tmp_path / "d.yaml")])
 
 
+def test_host_pipeline_rejects_lm_task(workspace, tmp_path):
+    """pipeline: host + task: lm must exit loudly, not silently fall back
+    to the device pipeline (judge finding r1)."""
+    (tmp_path / "t.yaml").write_text(
+        "task: lm\npipeline: host\nbatch_size: 8\nmax_steps: 2\n"
+        "data_parallel: false\n")
+    with pytest.raises(SystemExit, match="pipeline: host supports only"):
+        train_main(["--data", str(workspace / "data.yaml"),
+                    "--model", str(workspace / "model.yaml"),
+                    "--task", str(tmp_path / "t.yaml")])
+
+
 def test_per_artist_breakdown(workspace, capsys):
     evaluate_main(_args(workspace, "--split", "train", "--episodes", "8",
                         "--per_artist"))

@@ -71,6 +71,31 @@ def test_midi_write_parse_roundtrip(tmp_path):
         assert got.velocity == orig.velocity
 
 
+def test_multichannel_note_pairing(tmp_path):
+    """A note-off on one channel must NOT close a same-pitch note-on from
+    another channel (pretty_midi pairs per instrument; advisor finding r1)."""
+    import struct
+    body = bytearray()
+    body += M._varlen(0) + bytes([0x90, 60, 100])    # ch0 on  @ t=0
+    body += M._varlen(240) + bytes([0x91, 60, 80])   # ch1 on  @ t=240
+    body += M._varlen(240) + bytes([0x81, 60, 0])    # ch1 off @ t=480
+    body += M._varlen(480) + bytes([0x80, 60, 0])    # ch0 off @ t=960
+    body += M._varlen(0) + bytes([0xFF, 0x2F, 0x00])
+    data = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480) + \
+        b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+    p = tmp_path / "mc.mid"
+    p.write_bytes(data)
+    notes = M.parse_midi(p)
+    # 480 ticks @ 120bpm/tpq480 = 0.5s; sorted by (start, pitch)
+    assert len(notes) == 2
+    assert notes[0].velocity == 100
+    assert abs(notes[0].start - 0.0) < 1e-9
+    assert abs(notes[0].end - 1.0) < 1e-9      # ch0 note spans the full 960
+    assert notes[1].velocity == 80
+    assert abs(notes[1].start - 0.25) < 1e-9
+    assert abs(notes[1].end - 0.5) < 1e-9      # ch1 note closed by ch1 off
+
+
 def test_event_roundtrip():
     notes = [M.Note(0.0, 0.25, 60, 80), M.Note(0.5, 1.0, 72, 100)]
     events = M.notes_to_events(notes)

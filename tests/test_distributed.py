@@ -57,8 +57,21 @@ step = training.make_train_step(cfg, data, split, mesh=mesh)
 state = training.init_train_state(cfg, 64)
 for _ in range(3):
     state, m = step(state)
-print(f"RESULT pid={jax.process_index()} loss={float(m['loss']):.6f}",
-      flush=True)
+
+# evaluate: sharded batches, psum'd (ce_sum, count) — identical on all hosts
+nll = training.evaluate(cfg, state.params, data, split,
+                        jax.random.PRNGKey(3), num_episodes=8, mesh=mesh)
+
+# sample: replicated computation — identical tokens on all hosts
+import hashlib
+from fewshot import sampling as S
+from fewshot.data.episodes import sample_episode
+ep = sample_episode(jax.random.PRNGKey(5), data, split, 4, k=2, q=2)
+toks = S.generate(state.params, ep.support, ep.support_len,
+                  jax.random.PRNGKey(6), cfg, n_tokens=8)
+digest = hashlib.md5(np.asarray(jax.device_get(toks)).tobytes()).hexdigest()
+print(f"RESULT pid={jax.process_index()} loss={float(m['loss']):.6f} "
+      f"eval={nll:.6f} sample={digest}", flush=True)
 """
 
 
@@ -86,10 +99,15 @@ def test_two_process_training():
         out, _ = p.communicate(timeout=240)
         outs.append(out)
         assert p.returncode == 0, out[-2000:]
-    losses = []
+    results = []
     for out in outs:
         lines = [ln for ln in out.splitlines() if ln.startswith("RESULT")]
         assert lines, out[-2000:]
-        losses.append(float(lines[0].split("loss=")[1]))
-    assert np.isfinite(losses).all()
+        parts = dict(kv.split("=") for kv in lines[0].split()[1:])
+        results.append(parts)
+    losses = [float(r["loss"]) for r in results]
+    evals = [float(r["eval"]) for r in results]
+    assert np.isfinite(losses).all() and np.isfinite(evals).all()
     assert losses[0] == losses[1]   # psum'd loss identical on both hosts
+    assert evals[0] == evals[1]     # sharded+psum'd eval NLL identical
+    assert results[0]["sample"] == results[1]["sample"]  # same tokens

@@ -96,6 +96,29 @@ def test_smf_parser_tempo_change(native, tmp_path):
     assert abs(got[0].end - want[0].end) < 1e-9
 
 
+def test_smf_parser_multichannel_parity(native, tmp_path):
+    """(channel, pitch)-keyed note pairing must match between C++ and Python."""
+    import struct
+    from fewshot.data import midi as M
+    body = bytearray()
+    body += M._varlen(0) + bytes([0x90, 60, 100])
+    body += M._varlen(240) + bytes([0x91, 60, 80])
+    body += M._varlen(240) + bytes([0x81, 60, 0])
+    body += M._varlen(480) + bytes([0x80, 60, 0])
+    body += M._varlen(0) + bytes([0xFF, 0x2F, 0x00])
+    data = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 480) + \
+        b"MTrk" + struct.pack(">I", len(body)) + bytes(body)
+    p = tmp_path / "mc.mid"
+    p.write_bytes(data)
+    want = M.parse_midi(p)
+    got = native.parse_midi(p)
+    assert len(want) == len(got) == 2
+    for a, b in zip(got, want):
+        assert a.pitch == b.pitch and a.velocity == b.velocity
+        assert abs(a.start - b.start) < 1e-9
+        assert abs(a.end - b.end) < 1e-9
+
+
 def test_smf_parser_rejects_garbage(native, tmp_path):
     p = tmp_path / "bad.mid"
     p.write_bytes(b"not a midi file at all")

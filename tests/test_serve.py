@@ -70,6 +70,13 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope", timeout=30)
     assert e.value.code == 404
+    # wrong TYPES must yield an HTTP 400, never a dropped connection
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"num": None})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server, {"num": [1]})
+    assert e.value.code == 400
 
 
 def test_concurrent_requests_batch(server):
