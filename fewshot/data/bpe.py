@@ -30,28 +30,112 @@ def learn_bpe(sequences: list[list[int]], vocab: Vocab,
     """Learn merges over int sequences; returns (extended vocab, merges).
 
     merges: ordered [(left_id, right_id, new_id)].  Specials never merge.
+
+    Incremental algorithm: all sequences live in one doubly-linked array;
+    pair counts update only around each merged occurrence and a lazy
+    max-heap (stale entries discarded on pop) picks the next merge —
+    O(corpus + merges·log) instead of the naive full recount per merge,
+    which made vocab-scale corpora (VERDICT r1 #5) minutes-slow.  Picks and
+    tie-breaks (max count, then max (a, b)) are IDENTICAL to the recount
+    reference; tests/test_bpe.py pins the equivalence differentially.
     """
-    seqs = [list(s) for s in sequences]
+    import heapq
+
     tokens = list(vocab.tokens)
     merges: list[tuple[int, int, int]] = []
     n_special = len(SPECIALS)
 
-    for _ in range(num_merges):
-        pairs: Counter = Counter()
-        for s in seqs:
-            for a, b in zip(s, s[1:]):
-                if a >= n_special and b >= n_special:
-                    pairs[(a, b)] += 1
-        if not pairs:
+    # One flat doubly-linked list over all sequences (-1 = boundary/dead).
+    tok: list[int] = []
+    prv: list[int] = []
+    nxt: list[int] = []
+    for s in sequences:
+        start = len(tok)
+        for j, t in enumerate(s):
+            tok.append(int(t))
+            prv.append(start + j - 1 if j > 0 else -1)
+            nxt.append(start + j + 1 if j + 1 < len(s) else -1)
+
+    def mergeable(a: int, b: int) -> bool:
+        return a >= n_special and b >= n_special
+
+    # Initial counts + occurrence lists (left-node index per occurrence).
+    counts: Counter = Counter()
+    occs: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(tok)):
+        j = nxt[i]
+        if j != -1 and mergeable(tok[i], tok[j]):
+            p = (tok[i], tok[j])
+            counts[p] += 1
+            occs.setdefault(p, []).append(i)
+
+    # Lazy max-heap: (-count, -a, -b, a, b); an entry is valid iff its
+    # count still matches counts[(a, b)].  Every count CHANGE pushes a
+    # fresh entry, so the current count of every candidate is always
+    # represented.
+    heap: list[tuple[int, int, int, int, int]] = [
+        (-c, -a, -b, a, b) for (a, b), c in counts.items()]
+    heapq.heapify(heap)
+
+    def bump(a: int, b: int, delta: int, pos: int | None = None) -> None:
+        p = (a, b)
+        counts[p] += delta
+        if pos is not None:
+            occs.setdefault(p, []).append(pos)
+        c = counts[p]
+        if c >= min_count:
+            heapq.heappush(heap, (-c, -a, -b, a, b))
+
+    while len(merges) < num_merges:
+        # pop until a live entry surfaces
+        a = b = -1
+        count = 0
+        while heap:
+            negc, _, _, a, b = heapq.heappop(heap)
+            if counts[(a, b)] == -negc:
+                count = -negc
+                break
+        else:
             break
-        (a, b), count = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
         if count < min_count:
             break
+
         new_id = len(tokens)
         tokens.append(f"{tokens[a]}+{tokens[b]}")
         merges.append((a, b, new_id))
-        for i, s in enumerate(seqs):
-            seqs[i] = _merge_pair(s, a, b, new_id)
+
+        # Greedy left-to-right, non-overlapping — matches _merge_pair.
+        # Occurrences were appended in position order, so iterating the
+        # list preserves the reference's left-to-right semantics.
+        for i in occs.pop((a, b), ()):
+            if tok[i] != a:                       # stale (node merged away)
+                continue
+            j = nxt[i]
+            if j == -1 or tok[j] != b:            # stale
+                continue
+            p, n = prv[i], nxt[j]
+            # retire pairs that touched this occurrence (bump pushes a
+            # fresh heap entry at the DECREASED count too — without it a
+            # pair whose count only ever drops would lose its heap
+            # representation and never be picked again)
+            counts[(a, b)] -= 1
+            if p != -1 and mergeable(tok[p], a):
+                bump(tok[p], a, -1)
+            if n != -1 and mergeable(b, tok[n]):
+                bump(b, tok[n], -1)
+            # splice: node i becomes new_id, node j dies
+            tok[i] = new_id
+            tok[j] = -1
+            nxt[i] = n
+            if n != -1:
+                prv[n] = i
+            # new pairs around the merged token
+            if p != -1 and mergeable(tok[p], new_id):
+                bump(tok[p], new_id, +1, pos=p)
+            if n != -1 and mergeable(new_id, tok[n]):
+                bump(new_id, tok[n], +1, pos=i)
+        counts[(a, b)] = 0
+
     return Vocab(tokens), merges
 
 
@@ -70,10 +154,23 @@ def _merge_pair(seq: list[int], a: int, b: int, new_id: int) -> list[int]:
 
 
 def encode(seq: list[int], merges: list[tuple[int, int, int]]) -> list[int]:
-    """Apply merges in learned order (standard BPE encode)."""
+    """Apply merges (standard BPE encode).
+
+    Equivalent to applying every merge in learned order, but skips merges
+    absent from the sequence: repeatedly merge the LOWEST-RANK pair present
+    (classic trained-BPE encode) — O(len · applied) instead of
+    O(len · num_merges), which dominated pack time at vocab scale."""
+    rank = {(a, b): (r, new_id) for r, (a, b, new_id) in enumerate(merges)}
     s = list(seq)
-    for a, b, new_id in merges:
-        s = _merge_pair(s, a, b, new_id)
+    while len(s) > 1:
+        best = None
+        for pair in zip(s, s[1:]):
+            r = rank.get(pair)
+            if r is not None and (best is None or r[0] < best[0]):
+                best = (r[0], pair[0], pair[1], r[1])
+        if best is None:
+            break
+        s = _merge_pair(s, best[1], best[2], best[3])
     return s
 
 

@@ -30,12 +30,19 @@ cell (models/lstm.py) is the fallback for other shapes.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FORGET_BIAS = 1.0
+
+# CPU-debug escape hatch: FEWSHOT_PALLAS_INTERPRET=1 runs both kernels in
+# Pallas interpret mode (pure XLA, any backend) — used by the off-TPU parity
+# test; on-chip parity lives in scripts/tpu_checks.py.
+_INTERPRET = bool(os.environ.get("FEWSHOT_PALLAS_INTERPRET"))
 
 
 def _batch_tile(b: int) -> int:
@@ -129,12 +136,13 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
                                 + hidden * four_h),
             transcendentals=4 * t_ * b_ * hidden,
         ),
+        interpret=_INTERPRET,
     )(zx, wh, b[None], mask, h0, c0)
     return out  # ys, cs, hT, cT
 
 
 def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
-                dys_ref, dhT_ref, dcT_ref,
+                h0_ref, c0_ref, dys_ref, dhT_ref, dcT_ref,
                 dzx_ref, dh0_ref, dc0_ref,
                 dh_sc, dc_sc):
     """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
@@ -142,7 +150,13 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     The kernel ONLY produces dzx and the initial-state grads; dWh/db fall
     out of one bulk MXU contraction over the saved dzx afterwards
     (_vjp_bwd), shedding a per-step matmul and the 4MB accumulator
-    residency that capped the supported hidden size."""
+    residency that capped the supported hidden size.
+
+    hprev/cprev stream the FORWARD outputs ys/cs through a shifted
+    index_map (block t-1 for step t, clamped at 0) — the t=0 step reads
+    garbage there and selects h0/c0 instead.  This replaces the
+    [T,B,H]x2 h_prev/c_prev concat copies the old glue materialized in
+    XLA (~60MB/step at bench shape)."""
     p = pl.program_id(1)
     n_t = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
@@ -152,8 +166,9 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
         dh_sc[:] = dhT_ref[:]
         dc_sc[:] = dcT_ref[:]
 
-    h_prev = hprev_ref[0].astype(jnp.float32)
-    c_prev = cprev_ref[0].astype(jnp.float32)
+    is_t0 = p == n_t - 1    # reverse grid: the LAST program handles t = 0
+    h_prev = jnp.where(is_t0, h0_ref[:], hprev_ref[0].astype(jnp.float32))
+    c_prev = jnp.where(is_t0, c0_ref[:], cprev_ref[0].astype(jnp.float32))
 
     # Recompute gate activations for this step (cheaper than storing them).
     z = zx_ref[0].astype(jnp.float32) + \
@@ -193,7 +208,7 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
         dc0_ref[:] = dc_sc[:]
 
 
-def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
+def _bwd_call(zx, wh, b, mask, ys, cs, h0, c0, dys, dhT, dcT):
     t_, b_, four_h = zx.shape
     hidden = four_h // 4
     bt = _batch_tile(b_)
@@ -201,6 +216,9 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
     st = zx.dtype
     kw = dict(memory_space=pltpu.VMEM)
     rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
+    # h_prev/c_prev for step t = T-1-p is ys/cs block t-1, clamped at 0
+    # (the p = T-1 program ignores the block and reads h0/c0 instead)
+    revm1 = lambda bi, p: (jnp.maximum(t_ - 2 - p, 0), bi, 0)  # noqa: E731
     tile2 = lambda bi, p: (bi, 0)              # noqa: E731
     const2 = lambda bi, p: (0, 0)              # noqa: E731
     out = pl.pallas_call(
@@ -211,8 +229,10 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
             pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
             pl.BlockSpec((1, four_h), const2, **kw),       # b
             pl.BlockSpec((1, bt, 1), rev3, **kw),          # mask
-            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # h_prev
-            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # c_prev
+            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # ys  -> h_prev
+            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # cs  -> c_prev
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # h0
+            pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
             pl.BlockSpec((1, bt, hidden), rev3, **kw),     # dys
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dhT
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dcT
@@ -236,7 +256,8 @@ def _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq, dys, dhT, dcT):
             bytes_accessed=4 * t_ * b_ * (2 * four_h + 5 * hidden),
             transcendentals=4 * t_ * b_ * hidden,
         ),
-    )(zx, wh, b[None], mask, h_prev_seq, c_prev_seq, dys, dhT, dcT)
+        interpret=_INTERPRET,
+    )(zx, wh, b[None], mask, ys, cs, h0, c0, dys, dhT, dcT)
     return out  # dzx, dh0, dc0
 
 
@@ -261,16 +282,16 @@ def _vjp_fwd(zx, wh, b, mask, h0, c0):
 def _vjp_bwd(res, grads):
     zx, wh, b, mask, h0, c0, ys, cs = res
     dys, dhT, dcT = grads
-    h_prev_seq = jnp.concatenate([h0[None].astype(ys.dtype), ys[:-1]],
-                                 axis=0)
-    c_prev_seq = jnp.concatenate([c0[None].astype(cs.dtype), cs[:-1]],
-                                 axis=0)
-    dzx, dh0, dc0 = _bwd_call(zx, wh, b, mask, h_prev_seq, c_prev_seq,
+    dzx, dh0, dc0 = _bwd_call(zx, wh, b, mask, ys, cs, h0, c0,
                               dys, dhT, dcT)
     # Weight/bias grads as ONE bulk MXU contraction over (T, B) — cheaper
     # than accumulating inside the sequential kernel and frees 4MB of VMEM.
-    dwh = jnp.einsum("tbh,tbg->hg", h_prev_seq, dzx,
+    # h_prev[t] = ys[t-1] with h_prev[0] = h0; ys[:-1] / dzx[1:] are
+    # contiguous prefix/suffix views, so no copies are materialized.
+    dwh = jnp.einsum("tbh,tbg->hg", ys[:-1], dzx[1:],
                      preferred_element_type=jnp.float32)
+    dwh = dwh + jnp.einsum("bh,bg->hg", h0.astype(ys.dtype), dzx[0],
+                           preferred_element_type=jnp.float32)
     db = jnp.sum(dzx.astype(jnp.float32), axis=(0, 1))
     return (dzx, dwh.astype(wh.dtype), db, jnp.zeros_like(mask),
             dh0, dc0)

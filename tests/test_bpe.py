@@ -26,6 +26,57 @@ def test_learn_and_roundtrip():
         assert bpe.expand(enc, merges) == s    # lossless
 
 
+def _learn_bpe_recount_oracle(sequences, vocab, num_merges, min_count=2):
+    """Round-1 reference implementation: full recount + re-merge per round.
+    Kept as the differential oracle for the heap-based learn_bpe."""
+    from collections import Counter
+    seqs = [list(s) for s in sequences]
+    tokens = list(vocab.tokens)
+    merges = []
+    n_special = len(SPECIALS)
+    for _ in range(num_merges):
+        pairs = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                if a >= n_special and b >= n_special:
+                    pairs[(a, b)] += 1
+        if not pairs:
+            break
+        (a, b), count = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        if count < min_count:
+            break
+        new_id = len(tokens)
+        tokens.append(f"{tokens[a]}+{tokens[b]}")
+        merges.append((a, b, new_id))
+        for i, s in enumerate(seqs):
+            seqs[i] = bpe._merge_pair(s, a, b, new_id)
+    return Vocab(tokens), merges, seqs
+
+
+def test_learn_bpe_matches_recount_oracle():
+    """Heap-based learn_bpe must pick the SAME merges (incl. tie-breaks and
+    overlapping runs like a,a,a) as the naive recount reference."""
+    rng = np.random.RandomState(0)
+    base = len(SPECIALS)
+    for trial in range(8):
+        n_types = rng.randint(3, 12)
+        seqs = [
+            [base + int(t) for t in rng.randint(0, n_types,
+                                                rng.randint(2, 40))]
+            for _ in range(rng.randint(1, 12))]
+        # salt in specials and long runs to hit the edge cases
+        seqs.append([1, base, base, base, base, 2])
+        v = _vocab(n_types)
+        n_merges = int(rng.randint(1, 25))
+        v_fast, m_fast = bpe.learn_bpe(seqs, v, n_merges)
+        v_ref, m_ref, seqs_ref = _learn_bpe_recount_oracle(seqs, v, n_merges)
+        assert m_fast == m_ref, f"trial {trial}"
+        assert v_fast.tokens == v_ref.tokens
+        # encode must reproduce the oracle's fully-merged sequences
+        for s, want in zip(seqs, seqs_ref):
+            assert bpe.encode(s, m_fast) == want
+
+
 def test_specials_never_merge():
     v = _vocab()
     seqs = [[1, 1, 1, 1], [2, 2, 2, 2]]        # BOS/EOS runs

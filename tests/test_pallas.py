@@ -50,6 +50,53 @@ def test_pallas_grads_match_scan():
                                    atol=1e-4 + 1e-4 * np.abs(ref).max())
 
 
+def test_pallas_interpret_parity_subprocess():
+    """Fwd + custom-VJP bwd parity vs lax.scan in Pallas INTERPRET mode.
+
+    Runs on any backend (subprocess, because FEWSHOT_PALLAS_INTERPRET is
+    read at module import) — this is the CI-side guard on the backward
+    kernel's shifted-index_map glue; exact on-chip parity is covered by
+    scripts/tpu_checks.py."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.models import lstm as L
+from fewshot.ops.lstm_pallas import lstm_layer_pallas
+
+for (b, t, e, h) in [(4, 12, 16, 128), (8, 1, 16, 128)]:
+    params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, 1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+    lens = jnp.asarray(np.random.RandomState(0).randint(1, t + 1, b))
+    mask = jnp.arange(t) < lens[:, None]
+    h0c0 = L.zero_state(b, h, 1)[0]
+    ys_r, _ = L._layer_scan(params[0], x, mask, h0c0, jnp.float32)
+    ys_p, _ = lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+    assert float(jnp.abs(ys_p - ys_r).max()) < 1e-5
+
+    def loss(fn, p):
+        ys, (hh, cc) = fn(p, x, mask, h0c0, jnp.float32)
+        return jnp.sum(ys ** 2) + jnp.sum(hh * cc)
+    gr = jax.grad(lambda p: loss(L._layer_scan, p))(params[0])
+    gp = jax.grad(lambda p: loss(lstm_layer_pallas, p))(params[0])
+    for k in gr:
+        scale = float(np.abs(np.asarray(gr[k])).max()) + 1e-12
+        assert float(jnp.abs(gp[k] - gr[k]).max()) / scale < 1e-4, k
+print("OK")
+"""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
 def test_pallas_requires_aligned_hidden():
     from fewshot.ops.lstm_pallas import lstm_layer_pallas
     layer = {"wx": jnp.zeros((4, 4 * 100)), "wh": jnp.zeros((100, 400)),
