@@ -88,13 +88,23 @@ def main() -> None:
         ref = json.loads(ref_path.read_text())
         vs = eps_per_sec / ref["episodes_per_sec"]
 
-    print(json.dumps({
+    rec = {
         "metric": "train_episodes_per_sec",
         "value": round(eps_per_sec, 2),
         "unit": f"episodes/sec (1 chip, B={batch}, K=Q=5, "
                 f"L={cfg.max_len}, lstm512x2/{cell}/{support_mode})",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    # Quality half of the >=50x target (BASELINE.json:5 "at matched
+    # per-token query NLL"): measured by scripts/matched_nll.py — wall
+    # clock for CPU reference vs TPU path to reach the SAME val NLL with
+    # the same concat-prime architecture and eval harness.
+    matched = REPO / "benchmarks" / "matched_nll.json"
+    if matched.exists():
+        m = json.loads(matched.read_text())
+        rec["matched_nll_target"] = m["target_val_nll"]
+        rec["speedup_to_matched_nll"] = m["speedup_time_to_matched_nll"]
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -123,19 +123,29 @@ def main(argv=None) -> None:
         # (standard early-stopping methodology).
         best_val, best_params, best_step = float("inf"), state.params, 0
         eval_every = max(50, cfg.max_steps // 15)
+        # Train-ONLY wall clock (the north-star metric): the clock stops
+        # around periodic evals (VERDICT r1: report both conventions —
+        # total-loop eps/s was what round 1 published).
+        train_sec = 0.0
+        t_all = time.perf_counter()
         t0 = time.perf_counter()
         for i in range(cfg.max_steps):
             state, m = step(state)
             if (i + 1) % eval_every == 0 or i + 1 == cfg.max_steps:
+                jax.block_until_ready(m["loss"])
+                train_sec += time.perf_counter() - t0
                 v = training.evaluate(cfg, state.params, data, val_split,
                                       jax.random.PRNGKey(7),
                                       eval_step=val_step)
                 if v < best_val:
                     best_val, best_step = v, i + 1
                     best_params = jax.tree.map(lambda x: x, state.params)
+                t0 = time.perf_counter()
         jax.block_until_ready(m["loss"])
-        dt = time.perf_counter() - t0
-        eps_sec = cfg.max_steps * cfg.batch_size / dt
+        train_sec += time.perf_counter() - t0
+        dt = time.perf_counter() - t_all
+        eps_sec = cfg.max_steps * cfg.batch_size / train_sec
+        eps_sec_loop = cfg.max_steps * cfg.batch_size / dt
         test_nll = training.evaluate(cfg, best_params, data, test_split,
                                      jax.random.PRNGKey(99))
         state = state._replace(params=best_params)
@@ -154,7 +164,8 @@ def main(argv=None) -> None:
             extra = f"; sampled 8x64 tokens on device"
         uni_s = f" (unigram floor {uni:.3f})" if uni is not None else ""
         row = (f"| {name} | {float(m['loss']):.3f} | {test_nll:.3f}{uni_s} "
-               f"@ step {best_step} | {eps_sec:.0f} |{extra}")
+               f"@ step {best_step} | {eps_sec:.0f} ({eps_sec_loop:.0f} "
+               f"incl. eval) |{extra}")
         rows.append(row)
         print(row, flush=True)
 
@@ -165,7 +176,8 @@ def main(argv=None) -> None:
         f" (or songs for config 1), K=Q=5, tight-packed corpora.",
         "",
         "Test NLL reported at the best-val checkpoint (early stopping);",
-        "episodes/sec includes periodic eval time.",
+        "episodes/sec is train-only wall clock (the parenthesized number",
+        "also counts periodic eval time).",
         "",
         "| Config | final train NLL | test NLL/token (best-val ckpt) | episodes/sec |",
         "|---|---|---|---|",
