@@ -50,6 +50,9 @@ class Config:
                                      # avoids materializing score tensors for
                                      # long prefixes, but measured SLOWER at
                                      # song-scale shapes — see ROADMAP.md)
+    prefix_flash: bool = True        # fused episodic prefix-attention kernel
+                                     # (ops/prefix_attention.py) on TPU; off
+                                     # routes the einsum reference path
 
     # ---- task (configs/task/*.yaml) ----
     task: str = "episodic"           # lm | episodic

@@ -139,31 +139,35 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
     dt = _dt(cfg)
 
     from fewshot.ops.attention import causal_attention
+    from fewshot.ops.prefix_attention import (causal_self_attention_flash,
+                                              episodic_attention,
+                                              fused_available)
     pos_p = jnp.broadcast_to(jnp.arange(p), (b, p))
     # Query songs restart positions after the prefix.
     pos_q = jnp.broadcast_to(jnp.arange(lq) + p, (b, q_, lq))
 
-    # Query self-attention: causal within the song + key-padding mask.
-    causal_q = jnp.where(jnp.tril(jnp.ones((lq, lq), jnp.bool_)),
-                         0.0, NEG_INF)[None, None, None]
-    self_bias = causal_q + jnp.where(query_mask, 0.0,
-                                     NEG_INF)[:, :, None, None, :]
-    # Query -> prefix attention: full, masked by prefix padding.
-    cross_bias = jnp.where(prefix_mask, 0.0, NEG_INF)[:, None, None, None, :]
-
     hp = prefix_x.astype(dt)
     hq = query_x.astype(dt)
+    fused = fused_available(cfg.prefix_flash)
 
     def block(hp, hq, layer):
-        # Prefix stream (causal self-attention) — once per episode; the
-        # flash path avoids materializing the [B, h, P, P] score tensor.
+        # Prefix stream (causal self-attention) — once per episode.  At
+        # P = K*L the einsum's [B, h, P, P] scores are the transformer
+        # tier's LARGEST materialization (472MB/layer at config #4), so
+        # this routes through the same fused kernels (single causal
+        # branch) whenever the episodic kernel is on.
         pq, pk, pv = _qkv(layer, hp, pos_p, cfg)
-        p_attn = causal_attention(pq, pk, pv, prefix_mask, cfg.flash)
+        p_attn = (causal_self_attention_flash(pq, pk, pv, prefix_mask)
+                  if fused
+                  else causal_attention(pq, pk, pv, prefix_mask, cfg.flash))
         hp_next = hp + jnp.dot(p_attn.astype(dt), layer["wo"].astype(dt),
                                preferred_element_type=jnp.float32).astype(dt)
         hp_next = hp_next + _mlp(layer, hp_next, cfg).astype(dt)
 
-        # Query stream: attends to prefix K/V (this layer's) ++ itself.
+        # Query stream: attends to prefix K/V (this layer's) ++ itself —
+        # the fused kernel (ops/prefix_attention.py) shares the prefix K/V
+        # across the episode's Q songs and never materializes the
+        # [B, Q, h, Lq, P+Lq] score tensor the einsum reference builds.
         flat_q = hq.reshape(b * q_, lq, e)
         pos_flat = pos_q.reshape(b * q_, lq)
         qq, qk, qv = _qkv(layer, flat_q, pos_flat, cfg)
@@ -172,22 +176,9 @@ def transformer_prefix_forward(params: dict, prefix_x: jax.Array,
         qk = qk.reshape(b, q_, lq, nh, hd)
         qv = qv.reshape(b, q_, lq, nh, hd)
 
-        s_self = jnp.einsum("bqlhd,bqmhd->bqhlm", qq, qk,
-                            preferred_element_type=jnp.float32)
-        s_cross = jnp.einsum("bqlhd,bphd->bqhlp", qq, pk,
-                             preferred_element_type=jnp.float32)
-        scale = jnp.sqrt(jnp.float32(hd))
-        s_self = s_self / scale + self_bias  # broadcasts over the head axis
-        s_cross = s_cross / scale + cross_bias
-        scores = jnp.concatenate([s_cross, s_self], axis=-1)
-        probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-        probs_cross = probs[..., :p]
-        probs_self = probs[..., p:]
-        a_cross = jnp.einsum("bqhlp,bphd->bqlhd", probs_cross, pv,
-                             preferred_element_type=jnp.float32)
-        a_self = jnp.einsum("bqhlm,bqmhd->bqlhd", probs_self, qv,
-                            preferred_element_type=jnp.float32)
-        attn = (a_cross + a_self).reshape(b, q_, lq, e)
+        attn = episodic_attention(qq, qk, qv, pk, pv, query_mask,
+                                  prefix_mask, cfg.prefix_flash)
+        attn = attn.reshape(b, q_, lq, e)
         hq = hq + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                           preferred_element_type=jnp.float32).astype(dt)
         hq = hq + _mlp(layer, hq, cfg).astype(dt)
@@ -223,16 +214,20 @@ def prefill(params: dict, x: jax.Array, mask: jax.Array | None, cache: dict,
     valid slots.  Decode then continues from idx = P via transformer_step.
     """
     from fewshot.ops.attention import causal_attention
+    from fewshot.ops.prefix_attention import (causal_self_attention_flash,
+                                              fused_available)
     b, p, e = x.shape
     dt = _dt(cfg)
     positions = jnp.broadcast_to(jnp.arange(p), (b, p))
     h = x.astype(dt)
+    fused = fused_available(cfg.prefix_flash)
     ks, vs = [], []
     for layer in params["layers"]:
         q, k, v = _qkv(layer, h, positions, cfg)
         ks.append(k.astype(dt))
         vs.append(v.astype(dt))
-        attn = causal_attention(q, k, v, mask, cfg.flash)
+        attn = (causal_self_attention_flash(q, k, v, mask) if fused
+                else causal_attention(q, k, v, mask, cfg.flash))
         h = h + jnp.dot(attn.astype(dt), layer["wo"].astype(dt),
                         preferred_element_type=jnp.float32).astype(dt)
         h = h + _mlp(layer, h, cfg).astype(dt)

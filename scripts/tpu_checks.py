@@ -102,6 +102,78 @@ def micro_bench(b=160, t=255, e=256, h=512, iters=20) -> None:
               flush=True)
 
 
+def prefix_attention_parity(shapes) -> bool:
+    """On-chip fwd+grad parity: fused prefix-attention kernel vs einsum."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.ops.prefix_attention import (prefix_attention,
+                                              prefix_attention_reference)
+
+    ok = True
+    for (b, q, lq, nh, hd, p) in shapes:
+        rng = np.random.RandomState(0)
+        qq = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+        qk = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+        qv = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+        pk = jnp.asarray(rng.randn(b, p, nh, hd), jnp.float32)
+        pv = jnp.asarray(rng.randn(b, p, nh, hd), jnp.float32)
+        qmask = jnp.arange(lq)[None, None] < rng.randint(
+            2, lq + 1, (b, q))[:, :, None]
+        pmask = jnp.arange(p)[None] < rng.randint(1, p + 1, (b,))[:, None]
+
+        want = prefix_attention_reference(qq, qk, qv, pk, pv, qmask, pmask)
+        got = prefix_attention(qq, qk, qv, pk, pv, qmask, pmask)
+        fwd = float(jnp.abs(got - want).max())
+
+        def loss(fn, a):
+            o = fn(*a, qmask, pmask).reshape(b, q, lq, -1)
+            return jnp.sum(jnp.where(qmask[..., None], o, 0.0) ** 2)
+
+        a = (qq, qk, qv, pk, pv)
+        g_ref = jax.grad(lambda x: loss(prefix_attention_reference, x))(a)
+        g_new = jax.grad(lambda x: loss(prefix_attention, x))(a)
+        rel = max(float(jnp.abs(g_new[i] - g_ref[i]).max())
+                  / (float(jnp.abs(g_ref[i]).max()) + 1e-12)
+                  for i in range(5))
+        # on-chip: bf16-precision einsums around the kernel => 1e-2 budget
+        good = fwd < 5e-3 and rel < 1e-2
+        ok &= good
+        print(f"prefix-attn B={b} Q={q} Lq={lq} P={p}: fwd_err={fwd:.2e} "
+              f"grad_rel={rel:.2e} {'OK' if good else 'FAIL'}", flush=True)
+    return ok
+
+
+def prefix_attention_bench(b=16, q=5, lq=192, nh=4, hd=32, p=960, iters=20):
+    """Train-like fwd+bwd through the episodic attention: einsum vs fused."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.ops.prefix_attention import (prefix_attention,
+                                              prefix_attention_reference)
+    rng = np.random.RandomState(0)
+    dt = jnp.bfloat16
+    args = [jnp.asarray(rng.randn(b, q, lq, nh, hd), dt) for _ in range(3)]
+    args += [jnp.asarray(rng.randn(b, p, nh, hd), dt) for _ in range(2)]
+    qmask = jnp.arange(lq)[None, None] < jnp.full((b, q, 1), lq - 7)
+    pmask = jnp.arange(p)[None] < jnp.full((b, 1), p - 11)
+
+    for name, fn in [("einsum", prefix_attention_reference),
+                     ("fused", prefix_attention)]:
+        @jax.jit
+        def step(a, fn=fn):
+            def loss(aa):
+                return jnp.sum(fn(*aa, qmask, pmask) ** 2)
+            return jax.grad(loss)(tuple(a))
+        g = step(args)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g = step(args)
+        jax.block_until_ready(g)
+        dt_s = (time.perf_counter() - t0) / iters
+        print(f"prefix-attn {name}: {dt_s*1e3:.2f} ms fwd+bwd "
+              f"(B={b} Q={q} Lq={lq} P={p})", flush=True)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--bench", action="store_true", help="skip parity")
@@ -115,9 +187,12 @@ def main(argv=None) -> None:
     if not args.bench:
         ok = parity([(4, 12, 16, 128), (24, 9, 16, 128),
                      (160, 32, 256, 512)])
+        ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),
+                                       (4, 5, 192, 4, 32, 960)])
         if not ok:
             sys.exit(1)
     micro_bench()
+    prefix_attention_bench()
 
 
 if __name__ == "__main__":

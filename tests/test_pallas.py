@@ -97,6 +97,55 @@ print("OK")
         out.stdout[-2000:] + out.stderr[-2000:]
 
 
+def test_prefix_attention_interpret_parity_subprocess():
+    """Fused episodic prefix-attention kernel (fwd + all 5 input grads) vs
+    the einsum reference, in Pallas interpret mode (any backend)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.ops.prefix_attention import (prefix_attention,
+                                          prefix_attention_reference)
+
+rng = np.random.RandomState(0)
+for (b, q, lq, nh, hd, p) in [(2, 3, 20, 2, 16, 50), (1, 2, 130, 4, 32, 260)]:
+    qq = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+    qk = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+    qv = jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+    pk = jnp.asarray(rng.randn(b, p, nh, hd), jnp.float32)
+    pv = jnp.asarray(rng.randn(b, p, nh, hd), jnp.float32)
+    qmask = jnp.arange(lq)[None, None] < rng.randint(2, lq + 1,
+                                                     (b, q))[:, :, None]
+    pmask = jnp.arange(p)[None] < rng.randint(1, p + 1, (b,))[:, None]
+    want = prefix_attention_reference(qq, qk, qv, pk, pv, qmask, pmask)
+    got = prefix_attention(qq, qk, qv, pk, pv, qmask, pmask)
+    assert float(jnp.abs(got - want).max()) < 2e-5
+
+    def loss(fn, args):
+        o = fn(*args, qmask, pmask).reshape(b, q, lq, -1)
+        return jnp.sum(jnp.where(qmask[..., None], o, 0.0) ** 2)
+
+    args = (qq, qk, qv, pk, pv)
+    g_ref = jax.grad(lambda a: loss(prefix_attention_reference, a))(args)
+    g_new = jax.grad(lambda a: loss(prefix_attention, a))(args)
+    for i in range(5):
+        scale = float(jnp.abs(g_ref[i]).max()) + 1e-12
+        assert float(jnp.abs(g_new[i] - g_ref[i]).max()) / scale < 1e-4, i
+print("OK")
+"""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
 def test_pallas_requires_aligned_hidden():
     from fewshot.ops.lstm_pallas import lstm_layer_pallas
     layer = {"wx": jnp.zeros((4, 4 * 100)), "wh": jnp.zeros((100, 400)),
