@@ -65,7 +65,8 @@ def _cell_math(z, c, hidden):
 
 
 def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
-                ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc):
+                ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc,
+                gates_ref=None):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
 
@@ -80,7 +81,17 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
     z = zx_ref[0].astype(jnp.float32) + \
         jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
                 preferred_element_type=jnp.float32) + b_ref[:]
-    new_h, new_c = _cell_math(z, c, hidden)
+    si = jax.nn.sigmoid(z[:, :hidden])
+    tj = jnp.tanh(z[:, hidden:2 * hidden])
+    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
+    so = jax.nn.sigmoid(z[:, 3 * hidden:])
+    new_c = sf * c + si * tj
+    new_h = so * jnp.tanh(new_c)
+    if gates_ref is not None:
+        # train mode: save gate ACTIVATIONS so the backward kernel skips
+        # the z-recompute matmul (its serial MXU work halves)
+        gates_ref[0] = jnp.concatenate([si, tj, sf, so],
+                                       axis=-1).astype(gates_ref.dtype)
     m = mask_ref[0]
     h_sc[:] = jnp.where(m > 0, new_h, h)
     c_sc[:] = jnp.where(m > 0, new_c, c)
@@ -93,7 +104,7 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
         cT_ref[:] = c_sc[:]
 
 
-def _fwd_call(zx, wh, b, mask, h0, c0):
+def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
     t_, b_, four_h = zx.shape
     hidden = four_h // 4
     bt = _batch_tile(b_)
@@ -103,8 +114,31 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
     step3 = lambda bi, t: (t, bi, 0)     # noqa: E731
     tile2 = lambda bi, t: (bi, 0)        # noqa: E731
     const2 = lambda bi, t: (0, 0)        # noqa: E731
+    out_specs = [
+        pl.BlockSpec((1, bt, hidden), step3, **kw),    # ys
+        pl.BlockSpec((1, bt, hidden), step3, **kw),    # cs
+        pl.BlockSpec((bt, hidden), tile2, **kw),       # hT
+        pl.BlockSpec((bt, hidden), tile2, **kw),       # cT
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_, b_, hidden), st),
+        jax.ShapeDtypeStruct((t_, b_, hidden), st),
+        jax.ShapeDtypeStruct((b_, hidden), f32),
+        jax.ShapeDtypeStruct((b_, hidden), f32),
+    ]
+    kernel = _fwd_kernel
+    if save_gates:
+        out_specs.append(pl.BlockSpec((1, bt, four_h), step3, **kw))
+        out_shape.append(jax.ShapeDtypeStruct((t_, b_, four_h), st))
+
+        def kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,  # noqa
+                   ys_ref, cs_ref, hT_ref, cT_ref, gates_ref,
+                   h_sc, c_sc):
+            _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
+                        ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc,
+                        gates_ref=gates_ref)
     out = pl.pallas_call(
-        _fwd_kernel,
+        kernel,
         grid=(b_ // bt, t_),
         in_specs=[
             pl.BlockSpec((1, bt, four_h), step3, **kw),    # zx
@@ -114,18 +148,8 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
             pl.BlockSpec((bt, hidden), tile2, **kw),       # h0
             pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
         ],
-        out_specs=[
-            pl.BlockSpec((1, bt, hidden), step3, **kw),    # ys
-            pl.BlockSpec((1, bt, hidden), step3, **kw),    # cs
-            pl.BlockSpec((bt, hidden), tile2, **kw),       # hT
-            pl.BlockSpec((bt, hidden), tile2, **kw),       # cT
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_, b_, hidden), st),
-            jax.ShapeDtypeStruct((t_, b_, hidden), st),
-            jax.ShapeDtypeStruct((b_, hidden), f32),
-            jax.ShapeDtypeStruct((b_, hidden), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bt, hidden), f32),
             pltpu.VMEM((bt, hidden), f32),
@@ -138,11 +162,11 @@ def _fwd_call(zx, wh, b, mask, h0, c0):
         ),
         interpret=_INTERPRET,
     )(zx, wh, b[None], mask, h0, c0)
-    return out  # ys, cs, hT, cT
+    return out  # ys, cs, hT, cT[, gates]
 
 
-def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
-                h0_ref, c0_ref, dys_ref, dhT_ref, dcT_ref,
+def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
+                c0_ref, dys_ref, dhT_ref, dcT_ref,
                 dzx_ref, dh0_ref, dc0_ref,
                 dh_sc, dc_sc):
     """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
@@ -152,11 +176,12 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
     (_vjp_bwd), shedding a per-step matmul and the 4MB accumulator
     residency that capped the supported hidden size.
 
-    hprev/cprev stream the FORWARD outputs ys/cs through a shifted
-    index_map (block t-1 for step t, clamped at 0) — the t=0 step reads
-    garbage there and selects h0/c0 instead.  This replaces the
-    [T,B,H]x2 h_prev/c_prev concat copies the old glue materialized in
-    XLA (~60MB/step at bench shape)."""
+    Gate ACTIVATIONS arrive saved from the forward (gates_ref), so the
+    only matmul in the serial loop is dz @ Wh^T — the z-recompute matmul
+    the round-1 kernel paid per step is gone.  c_prev streams the forward
+    cs through a shifted index_map (block t-1 for step t, clamped at 0;
+    the t=0 program selects c0 instead), and tanh(new_c) is rebuilt from
+    cs[t] — valid because masked steps force dz to 0 anyway."""
     p = pl.program_id(1)
     n_t = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
@@ -167,19 +192,14 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
         dc_sc[:] = dcT_ref[:]
 
     is_t0 = p == n_t - 1    # reverse grid: the LAST program handles t = 0
-    h_prev = jnp.where(is_t0, h0_ref[:], hprev_ref[0].astype(jnp.float32))
     c_prev = jnp.where(is_t0, c0_ref[:], cprev_ref[0].astype(jnp.float32))
 
-    # Recompute gate activations for this step (cheaper than storing them).
-    z = zx_ref[0].astype(jnp.float32) + \
-        jnp.dot(h_prev.astype(wh_ref.dtype), wh_ref[:],
-                preferred_element_type=jnp.float32) + b_ref[:]
-    si = jax.nn.sigmoid(z[:, :hidden])
-    tj = jnp.tanh(z[:, hidden:2 * hidden])
-    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
-    so = jax.nn.sigmoid(z[:, 3 * hidden:])
-    new_c = sf * c_prev + si * tj          # pre-mask cell value
-    tc = jnp.tanh(new_c)
+    g = gates_ref[0].astype(jnp.float32)
+    si = g[:, :hidden]
+    tj = g[:, hidden:2 * hidden]
+    sf = g[:, 2 * hidden:3 * hidden]
+    so = g[:, 3 * hidden:]
+    tc = jnp.tanh(cs_ref[0].astype(jnp.float32))
 
     dh = dys_ref[0].astype(jnp.float32) + dh_sc[:]
     dc = dc_sc[:]
@@ -208,16 +228,16 @@ def _bwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, hprev_ref, cprev_ref,
         dc0_ref[:] = dc_sc[:]
 
 
-def _bwd_call(zx, wh, b, mask, ys, cs, h0, c0, dys, dhT, dcT):
-    t_, b_, four_h = zx.shape
+def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
+    t_, b_, four_h = gates.shape
     hidden = four_h // 4
     bt = _batch_tile(b_)
     f32 = jnp.float32
-    st = zx.dtype
+    st = gates.dtype
     kw = dict(memory_space=pltpu.VMEM)
     rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
-    # h_prev/c_prev for step t = T-1-p is ys/cs block t-1, clamped at 0
-    # (the p = T-1 program ignores the block and reads h0/c0 instead)
+    # c_prev for step t = T-1-p is cs block t-1, clamped at 0
+    # (the p = T-1 program ignores the block and reads c0 instead)
     revm1 = lambda bi, p: (jnp.maximum(t_ - 2 - p, 0), bi, 0)  # noqa: E731
     tile2 = lambda bi, p: (bi, 0)              # noqa: E731
     const2 = lambda bi, p: (0, 0)              # noqa: E731
@@ -225,13 +245,11 @@ def _bwd_call(zx, wh, b, mask, ys, cs, h0, c0, dys, dhT, dcT):
         _bwd_kernel,
         grid=(b_ // bt, t_),
         in_specs=[
-            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # zx
+            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # gates
             pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
-            pl.BlockSpec((1, four_h), const2, **kw),       # b
             pl.BlockSpec((1, bt, 1), rev3, **kw),          # mask
-            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # ys  -> h_prev
-            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # cs  -> c_prev
-            pl.BlockSpec((bt, hidden), tile2, **kw),       # h0
+            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # cs -> c_prev
+            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # cs -> tanh(c_t)
             pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
             pl.BlockSpec((1, bt, hidden), rev3, **kw),     # dys
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dhT
@@ -252,12 +270,12 @@ def _bwd_call(zx, wh, b, mask, ys, cs, h0, c0, dys, dhT, dcT):
             pltpu.VMEM((bt, hidden), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * t_ * b_ * hidden * four_h,
-            bytes_accessed=4 * t_ * b_ * (2 * four_h + 5 * hidden),
-            transcendentals=4 * t_ * b_ * hidden,
+            flops=2 * t_ * b_ * hidden * four_h,
+            bytes_accessed=4 * t_ * b_ * (2 * four_h + 4 * hidden),
+            transcendentals=t_ * b_ * hidden,
         ),
         interpret=_INTERPRET,
-    )(zx, wh, b[None], mask, ys, cs, h0, c0, dys, dhT, dcT)
+    )(gates, wh, mask, cs, cs, c0, dys, dhT, dcT)
     return out  # dzx, dh0, dc0
 
 
@@ -275,15 +293,15 @@ def lstm_scan_pallas(zx, wh, b, mask, h0, c0):
 
 
 def _vjp_fwd(zx, wh, b, mask, h0, c0):
-    ys, cs, hT, cT = _fwd_call(zx, wh, b, mask, h0, c0)
-    return (ys, hT, cT), (zx, wh, b, mask, h0, c0, ys, cs)
+    ys, cs, hT, cT, gates = _fwd_call(zx, wh, b, mask, h0, c0,
+                                      save_gates=True)
+    return (ys, hT, cT), (wh, mask, h0, c0, ys, cs, gates)
 
 
 def _vjp_bwd(res, grads):
-    zx, wh, b, mask, h0, c0, ys, cs = res
+    wh, mask, h0, c0, ys, cs, gates = res
     dys, dhT, dcT = grads
-    dzx, dh0, dc0 = _bwd_call(zx, wh, b, mask, ys, cs, h0, c0,
-                              dys, dhT, dcT)
+    dzx, dh0, dc0 = _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT)
     # Weight/bias grads as ONE bulk MXU contraction over (T, B) — cheaper
     # than accumulating inside the sequential kernel and frees 4MB of VMEM.
     # h_prev[t] = ys[t-1] with h_prev[0] = h0; ys[:-1] / dzx[1:] are
