@@ -45,25 +45,35 @@ def main() -> None:
     ep = eps.sample_episode(jax.random.PRNGKey(0), data, split, batch,
                             k=cfg.support_size, q=cfg.query_size)
 
-    def run(seed):
+    def run(seed, early_exit):
         return sampling.generate(state.params, ep.support, ep.support_len,
-                                 jax.random.PRNGKey(seed), cfg)
+                                 jax.random.PRNGKey(seed), cfg,
+                                 early_exit=early_exit)
 
-    toks = run(0)
-    jax.block_until_ready(toks)
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        toks = run(i)
-    jax.block_until_ready(toks)
-    dt = time.perf_counter() - t0
+    def measure(early_exit, iters=10):
+        toks = run(0, early_exit)
+        jax.block_until_ready(toks)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            toks = run(i, early_exit)
+        jax.block_until_ready(toks)
+        return time.perf_counter() - t0, iters
+
+    # full-length batch throughput: lax.scan path (untrained params never
+    # emit EOS, so the early-exit while_loop would run all n steps and only
+    # measure its own pipelining penalty — serving latency with real
+    # early exits is measured by tests/test_serve latency + this field)
+    dt, iters = measure(early_exit=False)
     tps = iters * batch * n_tokens / dt
+    dt_ee, iters = measure(early_exit=True)
     print(json.dumps({
         "metric": "sample_tokens_per_sec",
         "value": round(tps, 1),
         "unit": f"tokens/sec (1 chip, B={batch}, n={n_tokens}, "
                 f"lstm512x2/{cell}, support-primed)",
         "per_stream_ms_per_token": round(1e3 * dt / (iters * n_tokens), 3),
+        "early_exit_worst_case_tps": round(iters * batch * n_tokens / dt_ee,
+                                           1),
     }))
 
 

