@@ -96,6 +96,12 @@ def make_train_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
     opt = make_optimizer(cfg)
     if mesh is None:
         mesh = make_mesh() if cfg.data_parallel else None
+    if mesh is not None and mesh.devices.size == 1:
+        # shard_map over one device is semantically the identity (psum of
+        # one shard) but measurably NOT free: the wrapped transformer step
+        # lowers ~2x slower (55ms vs 30ms at config #4).  Skip the wrapper
+        # when there is nothing to shard.
+        mesh = None
     n_shards = mesh.devices.size if mesh is not None else 1
     if cfg.batch_size % n_shards:
         raise ValueError(
@@ -144,6 +150,8 @@ def make_fed_train_step(cfg, mesh=None):
     opt = make_optimizer(cfg)
     if mesh is None:
         mesh = make_mesh() if cfg.data_parallel else None
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None         # see make_train_step: 1-device shard_map tax
     apply = _make_apply(cfg, opt)
 
     def local_grads(params, key, ep):
@@ -216,6 +224,8 @@ def make_eval_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
     own PRNG fold and the (ce_sum, count) pair is psum'd — the exact-masked
     aggregation stays correct under sharding, and multi-host eval does 1/N
     of the work per host instead of replicating it."""
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None         # see make_train_step: 1-device shard_map tax
     if mesh is None:
         @jax.jit
         def eval_step(params, key):
