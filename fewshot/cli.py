@@ -187,6 +187,10 @@ def evaluate_main(argv=None) -> None:
                        help="evaluate a non-neural sanity baseline instead")
         p.add_argument("--per_artist", action="store_true",
                        help="also print NLL broken down by artist")
+        p.add_argument("--eval_set", type=str, default=None,
+                       help="score a FIXED episode set (npz from "
+                            "scripts/make_eval_set.py) — identical result "
+                            "across runs/batch sizes/pipelines")
     args, cfg, corpus = _setup(argv, flags)
     # Same global-mesh treatment as train_main: the corpus must be replicated
     # over the GLOBAL mesh for multi-process runs, and eval batches are
@@ -210,6 +214,26 @@ def evaluate_main(argv=None) -> None:
     state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
     if args.checkpt_dir and not restored:
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
+    if args.eval_set:
+        if cfg.task != "episodic":
+            sys.exit("--eval_set requires task=episodic")
+        ids, arts, k, q = eps.load_episode_set(args.eval_set)
+        if (k, q) != (cfg.support_size, cfg.query_size):
+            sys.exit(f"eval set was built for K={k} Q={q}, config has "
+                     f"K={cfg.support_size} Q={cfg.query_size}")
+        step = training.make_fed_eval_step(cfg)
+        total = count = 0.0
+        b = cfg.batch_size
+        for lo in range(0, len(ids), b):
+            ep = eps.gather_episode(data, jnp.asarray(ids[lo:lo + b]),
+                                    jnp.asarray(arts[lo:lo + b]), k, q)
+            t, c = step(state.params, ep)
+            total += float(t)
+            count += float(c)
+        nll = total / max(count, 1.0)
+        print(f"eval_set_nll_per_token={nll:.6f} "
+              f"({len(ids)} fixed episodes from {args.eval_set})",
+              flush=True)
     nll = training.evaluate(cfg, state.params, data, split,
                             jax.random.PRNGKey(cfg.seed),
                             num_episodes=args.episodes, mesh=mesh)

@@ -167,3 +167,46 @@ def split_song_pool(corpus, split: str) -> np.ndarray:
     artists = set(int(a) for a in corpus.splits[split])
     mask = np.array([int(a) in artists for a in corpus.song_artist])
     return np.nonzero(mask)[0].astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fixed episode sets: continuous-eval harness (ROADMAP r1 #5)
+# ---------------------------------------------------------------------------
+
+def save_episode_set(path, corpus, split: str, n: int, k: int, q: int,
+                     seed: int = 0) -> None:
+    """Draw n episodes' SONG INDICES host-side and save them (npz).
+
+    A saved set pins eval to exact (artist, songs) tuples, so the score of
+    a checkpoint is identical across runs, batch sizes, pipelines, and
+    future sampler changes — the eval is data, not code."""
+    rng = np.random.RandomState(seed)
+    artists = np.asarray(corpus.splits[split])
+    song_ids = np.zeros((n, k + q), np.int32)
+    ep_artist = np.zeros((n,), np.int32)
+    for i in range(n):
+        a = int(artists[rng.randint(len(artists))])
+        row = corpus.artist_song_ids[a][: int(corpus.artist_num_songs[a])]
+        take = rng.choice(len(row), size=min(k + q, len(row)),
+                          replace=False)
+        while len(take) < k + q:
+            take = np.concatenate([take, rng.choice(len(row), size=1)])
+        song_ids[i] = row[take]
+        ep_artist[i] = a
+    np.savez(path, song_ids=song_ids, artist=ep_artist,
+             k=np.int32(k), q=np.int32(q), split=np.str_(split))
+
+
+def load_episode_set(path) -> tuple[np.ndarray, np.ndarray, int, int]:
+    z = np.load(path, allow_pickle=False)
+    return z["song_ids"], z["artist"], int(z["k"]), int(z["q"])
+
+
+def gather_episode(data: CorpusOnDevice, song_ids: jax.Array,
+                   artist: jax.Array, k: int, q: int) -> Episode:
+    """Materialize an Episode from explicit song indices [B, k+q]."""
+    tokens = data.songs[song_ids]
+    lens = data.song_len[song_ids]
+    return Episode(support=tokens[:, :k], support_len=lens[:, :k],
+                   query=tokens[:, k:], query_len=lens[:, k:],
+                   artist=artist)

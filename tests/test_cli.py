@@ -89,6 +89,27 @@ def test_vocab_cap_guard(workspace, tmp_path):
         evaluate_main(["--data", str(tmp_path / "d.yaml")])
 
 
+def test_eval_set_reproducible_across_batch_sizes(workspace, tmp_path,
+                                                  capsys):
+    """A frozen episode set scores identically whatever the batch size —
+    the continuous-eval contract (eval is data, not code)."""
+    from fewshot.data.corpus import PackedCorpus
+    from fewshot.data.episodes import save_episode_set
+    corpus = PackedCorpus.load(workspace / "corpus")
+    es = tmp_path / "eval_set.npz"
+    save_episode_set(es, corpus, "test", n=10, k=2, q=2, seed=3)
+
+    vals = []
+    for bs in ("8", "3"):
+        evaluate_main(_args(workspace, "--eval_set", str(es),
+                            "--set", f"batch_size={bs}"))
+        out = capsys.readouterr().out
+        line = [ln for ln in out.splitlines()
+                if ln.startswith("eval_set_nll_per_token=")][0]
+        vals.append(float(line.split("=")[1].split()[0]))
+    assert abs(vals[0] - vals[1]) < 1e-5, vals
+
+
 def test_host_pipeline_rejects_lm_task(workspace, tmp_path):
     """pipeline: host + task: lm must exit loudly, not silently fall back
     to the device pipeline (judge finding r1)."""
