@@ -36,36 +36,82 @@ def _artist_name(i: int) -> str:
     return f"artist_{i:03d}"
 
 
+_SYLLABLES = ("ba be bi bo bu da de di do du ka ke ki ko ku la le li lo lu "
+              "ma me mi mo mu na ne ni no nu ra re ri ro ru sa se si so su "
+              "ta te ti to tu va ve vi vo vu za ze zi zo zu").split()
+
+
+def _synth_words(n: int, rng) -> list[str]:
+    """n distinct pronounceable fake words (vocab-scale corpora)."""
+    words: list[str] = []
+    seen = set(_COMMON)
+    while len(words) < n:
+        w = "".join(rng.choice(_SYLLABLES)
+                    for _ in range(rng.randint(2, 5)))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    return words
+
+
 def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
-                        songs_per_artist: int = 16, seed: int = 0) -> None:
-    """Write an (artist, song, lyrics) CSV with per-artist word styles."""
+                        songs_per_artist: int = 16, seed: int = 0,
+                        extra_vocab: int = 0) -> None:
+    """Write an (artist, song, lyrics) CSV with per-artist word styles.
+
+    extra_vocab > 0 appends that many synthetic words to the shared pool
+    under a zipf-ish global frequency profile — the vocab-scale shape of a
+    real scraped lyrics corpus (BASELINE.json:2 vocab ~5000) without
+    network access.  Each artist additionally tilts onto a small signature
+    subset of the pool, so episodes remain a real few-shot task.
+    """
     rng = np.random.RandomState(seed)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    pool: list[str] = []
+    pool_p: np.ndarray | None = None
+    if extra_vocab > 0:
+        pool = _synth_words(extra_vocab, rng)
+        ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
+        pool_p = (1.0 / ranks ** 1.1)
+        pool_p /= pool_p.sum()
     with open(path, "w", newline="", encoding="utf-8") as f:
         writer = csv.writer(f)
         writer.writerow(["artist", "song", "lyrics"])
         for a in range(num_artists):
-            theme = _THEMES[a % len(_THEMES)]
-            # Per-artist unigram mixture: mostly common words, but a heavy,
-            # artist-specific tilt onto its theme words.
+            theme = list(_THEMES[a % len(_THEMES)])
+            if pool:
+                # artist signature words drawn from the big pool
+                sig = rng.choice(len(pool), size=12, replace=False)
+                theme = theme + [pool[i] for i in sig]
             mix = rng.dirichlet(np.ones(len(_COMMON)) * 2.0)
             theme_w = rng.dirichlet(np.ones(len(theme)) * 2.0)
             theme_rate = 0.35 + 0.2 * rng.rand()
+            pool_rate = 0.35 if pool else 0.0
             for s in range(songs_per_artist):
                 n_lines = rng.randint(6, 12)
+                counts = rng.randint(4, 9, size=n_lines)
+                n = int(counts.sum())
+                # vectorized per-song draws (a per-word rng.choice over a
+                # 6k-word pool would make vocab-scale generation O(minutes))
+                u = rng.rand(n)
+                w_theme = rng.choice(len(theme), size=n, p=theme_w)
+                w_common = rng.choice(len(_COMMON), size=n, p=mix)
+                words = [
+                    theme[w_theme[i]] if u[i] < theme_rate
+                    else _COMMON[w_common[i]]
+                    for i in range(n)]
+                if pool:
+                    w_pool = rng.choice(len(pool), size=n, p=pool_p)
+                    hi = theme_rate + pool_rate
+                    words = [pool[w_pool[i]]
+                             if theme_rate <= u[i] < hi else words[i]
+                             for i in range(n)]
                 lines = []
-                for _ in range(n_lines):
-                    n_words = rng.randint(4, 9)
-                    words = []
-                    for _ in range(n_words):
-                        if rng.rand() < theme_rate:
-                            words.append(theme[rng.choice(len(theme),
-                                                          p=theme_w)])
-                        else:
-                            words.append(_COMMON[rng.choice(len(_COMMON),
-                                                            p=mix)])
-                    lines.append(" ".join(words))
+                pos = 0
+                for c in counts:
+                    lines.append(" ".join(words[pos:pos + int(c)]))
+                    pos += int(c)
                 writer.writerow([_artist_name(a), f"song_{s:03d}",
                                  " / ".join(lines)])
 
