@@ -186,9 +186,27 @@ def _apply_bpe(items, vocab, bpe_merges: int):
 
 def build_lyrics_corpus(csv_path: str | Path, out_dir: str | Path,
                         vocab_size: int, max_len: int,
-                        seed: int = 0, bpe_merges: int = 0) -> PackedCorpus:
-    rows = lyrics_mod.read_lyrics_csv(csv_path)
-    vocab, items = lyrics_mod.tokenize_corpus(rows, vocab_size)
+                        seed: int = 0, bpe_merges: int = 0,
+                        streaming_chunk_rows: int = 0) -> PackedCorpus:
+    """streaming_chunk_rows > 0 ingests the CSV in two chunked passes
+    (count -> vocab -> encode) so the raw text never has to fit in host
+    RAM at once; encoded ids are held as int32 arrays (~4 bytes/token).
+    Produces a corpus IDENTICAL to the in-memory path (tests pin this)."""
+    if streaming_chunk_rows > 0:
+        from collections import Counter
+        from fewshot.data.vocab import Vocab
+        counter: Counter = Counter()
+        for chunk in lyrics_mod.iter_lyrics_csv(csv_path,
+                                                streaming_chunk_rows):
+            counter.update(lyrics_mod.count_corpus(chunk))
+        vocab = Vocab.build(counter, vocab_size)
+        items = []
+        for chunk in lyrics_mod.iter_lyrics_csv(csv_path,
+                                                streaming_chunk_rows):
+            items.extend(lyrics_mod.encode_corpus(chunk, vocab))
+    else:
+        rows = lyrics_mod.read_lyrics_csv(csv_path)
+        vocab, items = lyrics_mod.tokenize_corpus(rows, vocab_size)
     merges, base_len = [], None
     if bpe_merges > 0:
         vocab, items, merges, base_len = _apply_bpe(items, vocab, bpe_merges)

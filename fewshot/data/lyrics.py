@@ -27,6 +27,18 @@ def tokenize_line(text: str) -> list[str]:
 def read_lyrics_csv(path: str | Path) -> list[tuple[str, str, str]]:
     """Read (artist, song, lyrics) rows.  Header row optional."""
     rows: list[tuple[str, str, str]] = []
+    for chunk in iter_lyrics_csv(path, chunk_rows=0):
+        rows.extend(chunk)
+    return rows
+
+
+def iter_lyrics_csv(path: str | Path, chunk_rows: int = 50_000):
+    """Stream (artist, song, lyrics) rows in chunks of chunk_rows.
+
+    chunk_rows <= 0 yields everything as one chunk.  The streaming builder
+    (corpus.build_lyrics_corpus(streaming_chunk_rows=...)) uses this so
+    raw text never has to fit in host RAM all at once."""
+    chunk: list[tuple[str, str, str]] = []
     with open(path, newline="", encoding="utf-8") as f:
         reader = csv.reader(f)
         for row in reader:
@@ -36,8 +48,38 @@ def read_lyrics_csv(path: str | Path) -> list[tuple[str, str, str]]:
             if (artist.strip().lower(), song.strip().lower()) == \
                     ("artist", "song"):
                 continue  # header
-            rows.append((artist.strip(), song.strip(), lyric))
-    return rows
+            chunk.append((artist.strip(), song.strip(), lyric))
+            if chunk_rows > 0 and len(chunk) >= chunk_rows:
+                yield chunk
+                chunk = []
+    if chunk:
+        yield chunk
+
+
+def count_corpus(rows: list[tuple[str, str, str]],
+                 native: bool = True) -> Counter:
+    """Token counts over rows (one pass; no encoded output).  Used by the
+    streaming builder's vocab pass."""
+    if native:
+        from fewshot.data import native as native_mod
+        if native_mod.available():
+            c = native_mod.count_corpus(rows)
+            if c is not None:
+                return c
+    counter: Counter = Counter()
+    for _, _, text in rows:
+        counter.update(tokenize_line(text))
+    return counter
+
+
+def encode_corpus(rows: list[tuple[str, str, str]], vocab: Vocab,
+                  native: bool = True) -> list[tuple[str, str, list[int]]]:
+    """Encode rows against a FIXED vocab (streaming builder's second pass)."""
+    if native:
+        from fewshot.data import native as native_mod
+        if native_mod.available():
+            return native_mod.encode_corpus(rows, vocab)
+    return [(a, s, vocab.encode(tokenize_line(t))) for a, s, t in rows]
 
 
 def tokenize_corpus(

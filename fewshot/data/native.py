@@ -69,19 +69,10 @@ def _i32(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def tokenize_corpus(rows, vocab_size: int):
-    """Fully-native corpus pass: count -> vocab -> encode to int ids.
-
-    Matches fewshot.data.lyrics.tokenize_corpus exactly (same tokens, same
-    top-N tie-breaking) but Python never materializes per-token strings —
-    only the unique-token table crosses the boundary once.
-    """
-    from collections import Counter
-    from fewshot.data.vocab import UNK, Vocab
-
+def _rows_blob(rows):
+    """Normalized UTF-8 blob + [start, end) byte offsets per row."""
     texts = [_normalize(t).encode("utf-8") for _, _, t in rows]
     blob = b"".join(texts)
-    n = len(blob)
     row_starts = np.zeros(len(rows), np.int32)
     row_ends = np.zeros(len(rows), np.int32)
     pos = 0
@@ -89,40 +80,45 @@ def tokenize_corpus(rows, vocab_size: int):
         row_starts[i] = pos
         pos += len(t)
         row_ends[i] = pos
+    return blob, row_starts, row_ends
 
+
+def count_corpus(rows):
+    """Pass 1 alone: token Counter over rows (streaming builder's vocab
+    pass merges these per chunk).  Returns None on (theoretically
+    impossible) capacity overflow so callers can fall back."""
+    from collections import Counter
+
+    blob, row_starts, row_ends = _rows_blob(rows)
+    n = len(blob)
     lowered = ctypes.create_string_buffer(max(1, n))
-    # pass 1: unique-token counts
     cap_unique = max(1024, n // 2 + 16)
     tok_buf = ctypes.create_string_buffer(max(1, n + 16))
-    tok_offsets = np.zeros(cap_unique + 1, np.int32)
-    counts = np.zeros(cap_unique, np.int64)
-    n_unique = LIB.fd_count_corpus(
-        blob, n, lowered, _i32(row_starts), _i32(row_ends), len(rows),
-        tok_buf, n + 16, _i32(tok_offsets),
-        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap_unique)
-    if n_unique < 0:
-        # Unique-token table exceeded the heuristic cap (degenerate corpora
-        # of mostly 1-2 byte tokens): retry at the true upper bound — every
-        # token is >= 1 byte, so n_unique <= n.
-        cap_unique = n + 16
-        tok_offsets = np.zeros(cap_unique + 1, np.int32)
-        counts = np.zeros(cap_unique, np.int64)
+    for cap in (cap_unique, n + 16):
+        tok_offsets = np.zeros(cap + 1, np.int32)
+        counts = np.zeros(cap, np.int64)
         n_unique = LIB.fd_count_corpus(
             blob, n, lowered, _i32(row_starts), _i32(row_ends), len(rows),
             tok_buf, n + 16, _i32(tok_offsets),
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            cap_unique)
-    if n_unique < 0:  # pragma: no cover - n+16 bounds both capacities
-        from fewshot.data import lyrics
-        return lyrics.tokenize_corpus(rows, vocab_size, native=False)
-    raw = tok_buf.raw
-    counter = Counter({
-        raw[tok_offsets[i]:tok_offsets[i + 1]].decode("utf-8",
-                                                      errors="replace"):
-        int(counts[i]) for i in range(n_unique)})
-    vocab = Vocab.build(counter, vocab_size)
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+        if n_unique >= 0:
+            raw = tok_buf.raw
+            return Counter({
+                raw[tok_offsets[i]:tok_offsets[i + 1]].decode(
+                    "utf-8", errors="replace"): int(counts[i])
+                for i in range(n_unique)})
+    return None  # pragma: no cover - n+16 bounds the capacity
 
-    # pass 2: encode against the vocab
+
+def encode_corpus(rows, vocab):
+    """Pass 2 alone: encode rows against a FIXED vocab.  Ids come back as
+    int32 numpy views (no Python int lists — the streaming builder keeps
+    ~4 bytes/token resident instead of ~28)."""
+    from fewshot.data.vocab import UNK
+
+    blob, row_starts, row_ends = _rows_blob(rows)
+    n = len(blob)
+    lowered = ctypes.create_string_buffer(max(1, n))
     vtoks = [t.encode("utf-8") for t in vocab.tokens]
     vocab_buf = b"".join(vtoks)
     vocab_offsets = np.zeros(len(vtoks) + 1, np.int32)
@@ -131,21 +127,40 @@ def tokenize_corpus(rows, vocab_size: int):
         vocab_offsets[i] = p
         p += len(t)
     vocab_offsets[len(vtoks)] = p
-    total_cap = int(counts[:n_unique].sum()) + 16
+    total_cap = n + 16        # every token is >= 1 byte
     out_ids = np.zeros(total_cap, np.int32)
     row_counts = np.zeros(len(rows), np.int32)
     total = LIB.fd_encode_corpus(
         blob, n, lowered, _i32(row_starts), _i32(row_ends), len(rows),
         vocab_buf, _i32(vocab_offsets), len(vtoks), UNK, _i32(out_ids),
         total_cap, _i32(row_counts))
-    if total < 0:  # pragma: no cover
+    if total < 0:  # pragma: no cover - n+16 bounds the capacity
         raise RuntimeError("fd_encode_corpus: capacity exceeded")
 
     items = []
     pos = 0
     for (artist, song, _), cnt in zip(rows, row_counts):
-        items.append((artist, song, out_ids[pos:pos + cnt].tolist()))
+        items.append((artist, song, out_ids[pos:pos + cnt]))
         pos += cnt
+    return items
+
+
+def tokenize_corpus(rows, vocab_size: int):
+    """Fully-native corpus pass: count -> vocab -> encode to int ids.
+
+    Matches fewshot.data.lyrics.tokenize_corpus exactly (same tokens, same
+    top-N tie-breaking) but Python never materializes per-token strings —
+    only the unique-token table crosses the boundary once.
+    """
+    from fewshot.data.vocab import Vocab
+
+    counter = count_corpus(rows)
+    if counter is None:  # pragma: no cover
+        from fewshot.data import lyrics
+        return lyrics.tokenize_corpus(rows, vocab_size, native=False)
+    vocab = Vocab.build(counter, vocab_size)
+    items = [(a, s, ids.tolist())
+             for a, s, ids in encode_corpus(rows, vocab)]
     return vocab, items
 
 

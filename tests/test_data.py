@@ -158,6 +158,25 @@ def test_build_lyrics_corpus_e2e(tmp_path):
     assert (tmp_path / "out" / "corpus.npz").exists()
 
 
+def test_streaming_build_identical(tmp_path):
+    """Chunked (streaming) ingestion must produce byte-identical corpus
+    arrays + vocab to the in-memory path, across uneven chunk boundaries."""
+    from fewshot.data.corpus import build_lyrics_corpus
+    from fewshot.data.synthetic import generate_lyrics_csv
+    generate_lyrics_csv(tmp_path / "l.csv", num_artists=6,
+                        songs_per_artist=5, seed=1)
+    ref = build_lyrics_corpus(tmp_path / "l.csv", tmp_path / "ref",
+                              vocab_size=128, max_len=0)
+    got = build_lyrics_corpus(tmp_path / "l.csv", tmp_path / "stream",
+                              vocab_size=128, max_len=0,
+                              streaming_chunk_rows=7)   # uneven chunks
+    assert got.vocab.tokens == ref.vocab.tokens
+    np.testing.assert_array_equal(got.songs, ref.songs)
+    np.testing.assert_array_equal(got.song_len, ref.song_len)
+    np.testing.assert_array_equal(got.artist_song_ids, ref.artist_song_ids)
+    assert got.artist_names == ref.artist_names
+
+
 def test_build_midi_corpus_e2e(tmp_path):
     generate_midi_corpus(tmp_path / "mid", num_artists=3,
                          songs_per_artist=2, seed=0)
