@@ -45,11 +45,24 @@ FORGET_BIAS = 1.0
 _INTERPRET = bool(os.environ.get("FEWSHOT_PALLAS_INTERPRET"))
 
 
-def _batch_tile(b: int) -> int:
-    """Largest divisor of b that is <= 128, preferring sublane multiples."""
-    for cand in range(min(b, 128), 0, -1):
-        if b % cand == 0 and (cand % 8 == 0 or cand == b):
-            return cand
+def _batch_tile(b: int, hidden: int = 0, itemsize: int = 4) -> int:
+    """Largest divisor of b (<= 256) whose per-tile VMEM footprint fits.
+
+    Bigger tiles fill MXU sublanes better AND halve grid/DMA count (B=160
+    as one [160, H] tile beats two 80-row tiles that each waste 48 of the
+    128 sublanes).  Footprint per tile: the double-buffered per-step
+    streams (zx + gates + ys + cs ~= 10H values/row at the stream dtype)
+    plus f32 state scratch/carries; Wh's residency is charged separately
+    by lstm_layer_pallas's budget check."""
+    budget = 8 * 2 ** 20
+    for cand in range(min(b, 256), 0, -1):
+        if b % cand and cand != b:
+            continue
+        if cand % 8 and cand != b:
+            continue
+        if hidden and cand * hidden * (10 * 2 * itemsize + 6 * 4) > budget:
+            continue
+        return cand
     return b
 
 
@@ -107,9 +120,9 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
 def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
     t_, b_, four_h = zx.shape
     hidden = four_h // 4
-    bt = _batch_tile(b_)
     f32 = jnp.float32
     st = zx.dtype                 # stream dtype: bf16 halves HBM traffic
+    bt = _batch_tile(b_, hidden, jnp.dtype(st).itemsize)
     kw = dict(memory_space=pltpu.VMEM)
     step3 = lambda bi, t: (t, bi, 0)     # noqa: E731
     tile2 = lambda bi, t: (bi, 0)        # noqa: E731
@@ -167,14 +180,16 @@ def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
 
 def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
                 c0_ref, dys_ref, dhT_ref, dcT_ref,
-                dzx_ref, dh0_ref, dc0_ref,
+                dzx_ref, dh0_ref, dc0_ref, db_ref,
                 dh_sc, dc_sc):
     """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
 
-    The kernel ONLY produces dzx and the initial-state grads; dWh/db fall
-    out of one bulk MXU contraction over the saved dzx afterwards
-    (_vjp_bwd), shedding a per-step matmul and the 4MB accumulator
-    residency that capped the supported hidden size.
+    The kernel produces dzx, the initial-state grads, and a per-tile db
+    (the [1, 4H] row-sum accumulates in a VMEM-resident output block —
+    XLA's standalone sum over dzx re-read the whole [T, B, 4H] tensor
+    from HBM); dWh still falls out of one bulk MXU contraction over the
+    saved dzx afterwards (_vjp_bwd), shedding a per-step matmul and the
+    4MB accumulator residency that capped the supported hidden size.
 
     Gate ACTIVATIONS arrive saved from the forward (gates_ref), so the
     only matmul in the serial loop is dz @ Wh^T — the z-recompute matmul
@@ -190,6 +205,7 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
     def _():
         dh_sc[:] = dhT_ref[:]
         dc_sc[:] = dcT_ref[:]
+        db_ref[:] = jnp.zeros_like(db_ref)
 
     is_t0 = p == n_t - 1    # reverse grid: the LAST program handles t = 0
     c_prev = jnp.where(is_t0, c0_ref[:], cprev_ref[0].astype(jnp.float32))
@@ -214,6 +230,15 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
     dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
     dzx_ref[0] = dz.astype(dzx_ref.dtype)
+    # db partial sums: keep 8 sublane rows live (min f32 tile); rows are
+    # summed outside.  bt % 8 == 0 in practice (_batch_tile prefers it).
+    bt, four_h = dz.shape
+    if bt % 8 == 0:
+        db_ref[0] = db_ref[0] + jnp.sum(
+            dz.reshape(bt // 8, 8, four_h), axis=0)
+    else:
+        db_ref[0, 0:1] = db_ref[0, 0:1] + jnp.sum(dz, axis=0,
+                                                  keepdims=True)
 
     dh_prev = jax.lax.dot_general(
         dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
@@ -231,9 +256,9 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
 def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
     t_, b_, four_h = gates.shape
     hidden = four_h // 4
-    bt = _batch_tile(b_)
     f32 = jnp.float32
     st = gates.dtype
+    bt = _batch_tile(b_, hidden, jnp.dtype(st).itemsize)
     kw = dict(memory_space=pltpu.VMEM)
     rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
     # c_prev for step t = T-1-p is cs block t-1, clamped at 0
@@ -259,11 +284,14 @@ def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
             pl.BlockSpec((1, bt, four_h), rev3, **kw),     # dzx
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dh0
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dc0
+            pl.BlockSpec((1, 8, four_h), lambda bi, p: (bi, 0, 0),
+                         **kw),                            # db (per tile)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_, b_, four_h), st),
             jax.ShapeDtypeStruct((b_, hidden), f32),
             jax.ShapeDtypeStruct((b_, hidden), f32),
+            jax.ShapeDtypeStruct((b_ // bt, 8, four_h), f32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, hidden), f32),
@@ -276,7 +304,7 @@ def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
         ),
         interpret=_INTERPRET,
     )(gates, wh, mask, cs, cs, c0, dys, dhT, dcT)
-    return out  # dzx, dh0, dc0
+    return out  # dzx, dh0, dc0, db_tiles
 
 
 # ---------------------------------------------------------------------------
@@ -301,16 +329,19 @@ def _vjp_fwd(zx, wh, b, mask, h0, c0):
 def _vjp_bwd(res, grads):
     wh, mask, h0, c0, ys, cs, gates = res
     dys, dhT, dcT = grads
-    dzx, dh0, dc0 = _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT)
-    # Weight/bias grads as ONE bulk MXU contraction over (T, B) — cheaper
-    # than accumulating inside the sequential kernel and frees 4MB of VMEM.
+    dzx, dh0, dc0, db_tiles = _bwd_call(gates, wh, mask, cs, c0, dys, dhT,
+                                        dcT)
+    # Weight grads as ONE bulk MXU contraction over (T, B) — cheaper than
+    # accumulating inside the sequential kernel and frees 4MB of VMEM.
     # h_prev[t] = ys[t-1] with h_prev[0] = h0; ys[:-1] / dzx[1:] are
     # contiguous prefix/suffix views, so no copies are materialized.
+    # db accumulated in-kernel (one [1, 4H] VMEM row per batch tile) —
+    # a standalone XLA sum would re-read the whole dzx from HBM.
     dwh = jnp.einsum("tbh,tbg->hg", ys[:-1], dzx[1:],
                      preferred_element_type=jnp.float32)
     dwh = dwh + jnp.einsum("bh,bg->hg", h0.astype(ys.dtype), dzx[0],
                            preferred_element_type=jnp.float32)
-    db = jnp.sum(dzx.astype(jnp.float32), axis=(0, 1))
+    db = jnp.sum(db_tiles, axis=(0, 1))
     return (dzx, dwh.astype(wh.dtype), db, jnp.zeros_like(mask),
             dh0, dc0)
 

@@ -7,32 +7,42 @@ key-masked) ++ ITSELF (causal, key-masked).  The XLA reference path
 scores+probs per layer — the transformer tier's HBM hog (VERDICT r1 #3);
 at K=20, L=512 (P > 10k) it simply does not fit.
 
-Flash factoring: attention over a concatenated KV range splits into two
-independent online-softmax sweeps stitched by logsumexp:
+Kernel shape (v2 — head-folded, branch-merged):
 
-    out = wc * out_cross + ws * out_self,   w* = exp(lse_* - lse_total)
+  * **Heads ride the block, not the grid.**  Blocks are [1, nh, rows, hd]
+    and all matmuls are nh-batched `dot_general`s — one grid step does a
+    whole head group, so grid overhead and DMA count drop nh-fold vs the
+    v1 kernels (ROADMAP r2 limitation #5) and each DMA is nh x larger.
+  * **One online-softmax sweep over (prefix ++ self).**  The innermost
+    grid dim walks the prefix KV blocks first, then the query song's own
+    KV blocks (causal); `@pl.when(t < np)` selects the branch in-kernel.
+    Clamped index maps park the inactive input on its last-fetched block
+    (Pallas skips the re-DMA when the block index is unchanged), so the
+    merge costs no extra bandwidth — and it DELETES the v1 lse-stitch
+    combine pass, which round-tripped two fp32 partial outputs per layer
+    per direction through HBM.
+  * The prefix K/V blocks are indexed with bq // Q in the BlockSpec
+    index_map — the episode's prefix is stored ONCE and shared by its Q
+    query songs, never replicated in HBM.
 
-and the backward of each branch is the standard flash backward fed the
-GLOBAL (lse_total, delta=rowsum(dout*out_total)) — probabilities
-p = exp(s - lse_total) are already globally normalized, so per-branch
-dq/dk/dv sum exactly.  Three generic kernels (fwd, dq, dk/dv) therefore
-serve both branches:
+Backward: the flash backward of each branch is fed the GLOBAL
+(lse, delta=rowsum(dout*out)) — probabilities p = exp(s - lse) are already
+globally normalized, so per-branch dq/dk/dv sum exactly.  dq uses the same
+merged sweep; dk/dv runs once per branch (their output batch spaces differ:
+prefix grads sum over the episode's Q songs, self grads do not).
 
-  * cross: causal=False, and the prefix K/V blocks are indexed with
-    bq // Q in the BlockSpec index_map — the episode's prefix is stored
-    ONCE and shared by its Q query songs, never replicated in HBM;
-  * self: causal=True, div=1.
-
-Scores only ever exist as a [blq, bkv] VMEM tile; running (m, l) ride in
-scratch across the innermost KV grid dimension (TPU grids are sequential,
-so output blocks with a constant index accumulate in VMEM and flush once).
-All matmul operands are cast to the streams' dtype (bf16 under
-compute_dtype=bfloat16) with fp32 MXU accumulation; softmax math is fp32.
+Scores only ever exist as a [nh, rows, bkv] VMEM tile; running (m, l) ride
+in scratch across the innermost KV grid dimension (TPU grids are
+sequential, so output blocks with a constant index accumulate in VMEM and
+flush once).  All matmul operands are cast to the streams' dtype (bf16
+under compute_dtype=bfloat16) with fp32 MXU accumulation; softmax math is
+fp32.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -56,193 +66,253 @@ def _block(n: int, cap: int = 512) -> int:
     return 128
 
 
+def _bdot(a, b, contract_a, contract_b):
+    """nh-batched matmul: a [nh, m, ca], b [nh, n, cb] -> [nh, m, n] fp32."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
 # ---------------------------------------------------------------------------
-# forward kernel (one branch): online softmax over the KV grid dim
+# forward kernel: one online-softmax sweep over (prefix blocks ++ self blocks)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, kmask_ref, out_ref, lse_ref,
-                m_sc, l_sc, *, scale, causal, blq, bkv):
-    t = pl.program_id(3)
-    n_t = pl.num_programs(3)
-    lqb = pl.program_id(2)
+def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
+    if has_prefix:
+        (q_ref, pk_ref, pv_ref, pm_ref, sk_ref, sv_ref, sm_ref,
+         out_ref, lse_ref, m_sc, l_sc) = refs
+    else:
+        (q_ref, sk_ref, sv_ref, sm_ref,
+         out_ref, lse_ref, m_sc, l_sc) = refs
+    t = pl.program_id(2)
+    n_t = pl.num_programs(2)
+    i = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         m_sc[:] = jnp.full_like(m_sc, NEG)
         l_sc[:] = jnp.zeros_like(l_sc)
-        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kmask = kmask_ref[0] > 0                              # [1, bkv]
-    s = jnp.where(kmask, s, NEG)
-    if causal:
-        rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 0)
-        cols = t * bkv + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 1)
-        s = jnp.where(cols <= rows, s, NEG)
+    def update(k_ref, v_ref, mask_ref, causal, tkv):
+        q = q_ref[0]                                   # [nh, blq, hd]
+        k = k_ref[0]                                   # [nh, bkv, hd]
+        s = _bdot(q, k, 2, 2) * scale                  # [nh, blq, bkv]
+        kmask = mask_ref[0] > 0                        # [1, bkv]
+        s = jnp.where(kmask, s, NEG)
+        if causal:
+            sh = (blq, bkv)
+            rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+            cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+            s = jnp.where(cols <= rows, s, NEG)
+        m_prev = m_sc[:, :, 0:1]                       # [nh, blq, 1]
+        l_prev = l_sc[:, :, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_sc[:, :, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_sc[:, :, 0:1] = m_new
+        pv = _bdot(p.astype(v_ref.dtype), v_ref[0], 2, 1)   # [nh, blq, hd]
+        out_ref[0] = out_ref[0] * alpha + pv
 
-    m_prev = m_sc[:, 0:1]
-    l_prev = l_sc[:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    m_sc[:, 0:1] = m_new
-    l_sc[:, 0:1] = l_new
-    pv = jnp.dot(p.astype(v_ref.dtype), v_ref[0, 0],
-                 preferred_element_type=jnp.float32)
-    out_ref[0, 0] = out_ref[0, 0] * alpha + pv
+    if has_prefix:
+        @pl.when(t < np_)
+        def _():
+            update(pk_ref, pv_ref, pm_ref, causal=False, tkv=None)
+
+        @pl.when(t >= np_)
+        def _():
+            update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t - np_)
+    else:
+        update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t)
 
     @pl.when(t == n_t - 1)
     def _():
-        l = l_sc[:, 0:1]
-        out_ref[0, 0] = out_ref[0, 0] / jnp.where(l == 0.0, 1.0, l)
-        lse_ref[0, 0] = m_sc[:, 0:1] + jnp.log(jnp.maximum(l, 1e-30))
+        l = l_sc[:, :, 0:1]
+        out_ref[0] = out_ref[0] / jnp.where(l == 0.0, 1.0, l)
+        lse_ref[0] = m_sc[:, :, 0:1] + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def _fwd_call(q, k, v, kmask, *, scale, causal, div):
-    """q [BQ,nh,Lp,hd]; k/v [BK,nh,Kp,hd]; kmask [BK,1,Kp] f32.
+def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
+              scale, div=1, causal_self=True):
+    """qq/sk/sv [BQ,nh,Lp,hd] (self stream); pk/pv [BK,nh,Pp,hd] or None.
 
-    Returns (out [BQ,nh,Lp,hd] f32, lse [BQ,nh,Lp,1] f32).  BK = BQ // div;
-    each group of `div` consecutive q-batch rows shares k/v/kmask."""
-    bq_, nh, lp, hd = q.shape
-    kp = k.shape[2]
-    blq, bkv = _block(lp), _block(kp)
+    smask [BQ,1,Lp] f32, pmask [BK,1,Pp] f32.  BK = BQ // div; each group
+    of `div` consecutive q-batch rows shares the prefix k/v/mask.
+    Returns (out [BQ,nh,Lp,hd] f32, lse [BQ,nh,Lp,1] f32)."""
+    bq_, nh, lp, hd = qq.shape
+    has_prefix = pk is not None
+    pp = pk.shape[2] if has_prefix else 0
+    blq = _block(lp)
+    bkv = _block(math.gcd(pp, lp) if has_prefix else lp)
+    np_ = pp // bkv
+    ns_ = lp // bkv
     kw = dict(memory_space=pltpu.VMEM)
-    grid = (bq_, nh, lp // blq, kp // bkv)
-    qmap = lambda b, h, i, t: (b, h, i, 0)            # noqa: E731
-    kmap = lambda b, h, i, t: (b // div, h, t, 0)     # noqa: E731
-    mmap = lambda b, h, i, t: (b // div, 0, t)        # noqa: E731
-    omap = lambda b, h, i, t: (b, h, i, 0)            # noqa: E731
-    kernel = functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                               blq=blq, bkv=bkv)
+    grid = (bq_, lp // blq, np_ + ns_)
+    qmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
+    skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
+    smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
+    pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
+    pmmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1))  # noqa: E731,E501
+    in_specs = [pl.BlockSpec((1, nh, blq, hd), qmap, **kw)]
+    args = [qq]
+    if has_prefix:
+        in_specs += [pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
+                     pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
+                     pl.BlockSpec((1, 1, bkv), pmmap, **kw)]
+        args += [pk, pv, pmask]
+    in_specs += [pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
+                 pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
+                 pl.BlockSpec((1, 1, bkv), smmap, **kw)]
+    args += [sk, sv, smask]
+    kernel = functools.partial(_fwd_kernel, scale=scale, np_=np_, blq=blq,
+                               bkv=bkv, has_prefix=has_prefix,
+                               causal_self=causal_self)
+    kp_eff = pp // max(div, 1) + lp
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
-            pl.BlockSpec((1, 1, bkv), mmap, **kw),
-        ],
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, blq, hd), omap, **kw),
-            pl.BlockSpec((1, 1, blq, 1), omap, **kw),
+            pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
+            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bq_, nh, lp, hd), jnp.float32),
             jax.ShapeDtypeStruct((bq_, nh, lp, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((blq, 1), jnp.float32),
-            pltpu.VMEM((blq, 1), jnp.float32),
+            pltpu.VMEM((nh, blq, 1), jnp.float32),
+            pltpu.VMEM((nh, blq, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bq_ * nh * lp * kp * hd,
-            bytes_accessed=4 * bq_ * nh * (lp + kp // div) * hd * 2,
-            transcendentals=bq_ * nh * lp * kp,
+            flops=4 * bq_ * nh * lp * (pp + lp) * hd,
+            bytes_accessed=4 * bq_ * nh * (lp + kp_eff) * hd * 2,
+            transcendentals=bq_ * nh * lp * (pp + lp),
         ),
         interpret=_INTERPRET,
-    )(q, k, v, kmask)
+    )(*args)
     return out, lse
 
 
 # ---------------------------------------------------------------------------
-# backward kernels (one branch each; fed the GLOBAL lse/delta)
+# backward kernels (fed the GLOBAL lse/delta)
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, kmask_ref, g_ref, lse_ref, delta_ref,
-               dq_ref, *, scale, causal, blq, bkv):
-    t = pl.program_id(3)
-    lqb = pl.program_id(2)
+def _dq_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
+    if has_prefix:
+        (q_ref, pk_ref, pv_ref, pm_ref, sk_ref, sv_ref, sm_ref,
+         g_ref, lse_ref, delta_ref, dq_ref) = refs
+    else:
+        (q_ref, sk_ref, sv_ref, sm_ref,
+         g_ref, lse_ref, delta_ref, dq_ref) = refs
+    t = pl.program_id(2)
+    i = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
-        dq_ref[0, 0] = jnp.zeros_like(dq_ref[0, 0])
+        dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kmask = kmask_ref[0] > 0                              # [1, bkv]
-    s = jnp.where(kmask, s, NEG)
-    if causal:
-        rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 0)
-        cols = t * bkv + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 1)
-        s = jnp.where(cols <= rows, s, NEG)
-    p = jnp.exp(s - lse_ref[0, 0])                       # global probs
-    g = g_ref[0, 0]
-    dp = jax.lax.dot_general(g, v_ref[0, 0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0, 0]) * scale
-    dq_ref[0, 0] = dq_ref[0, 0] + jnp.dot(
-        ds.astype(k.dtype), k, preferred_element_type=jnp.float32)
+    def update(k_ref, v_ref, mask_ref, causal, tkv):
+        q = q_ref[0]
+        k = k_ref[0]
+        s = _bdot(q, k, 2, 2) * scale                  # [nh, blq, bkv]
+        kmask = mask_ref[0] > 0
+        s = jnp.where(kmask, s, NEG)
+        if causal:
+            sh = (blq, bkv)
+            rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+            cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+            s = jnp.where(cols <= rows, s, NEG)
+        p = jnp.exp(s - lse_ref[0])                    # global probs
+        g = g_ref[0]
+        dp = _bdot(g, v_ref[0], 2, 2)                  # [nh, blq, bkv]
+        ds = p * (dp - delta_ref[0]) * scale
+        dq_ref[0] = dq_ref[0] + _bdot(ds.astype(k.dtype), k, 2, 1)
+
+    if has_prefix:
+        @pl.when(t < np_)
+        def _():
+            update(pk_ref, pv_ref, pm_ref, causal=False, tkv=None)
+
+        @pl.when(t >= np_)
+        def _():
+            update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t - np_)
+    else:
+        update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t)
 
 
-def _dq_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
-    bq_, nh, lp, hd = q.shape
-    kp = k.shape[2]
-    blq, bkv = _block(lp), _block(kp)
+def _dq_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
+             scale, div=1, causal_self=True):
+    bq_, nh, lp, hd = qq.shape
+    has_prefix = pk is not None
+    pp = pk.shape[2] if has_prefix else 0
+    blq = _block(lp)
+    bkv = _block(math.gcd(pp, lp) if has_prefix else lp)
+    np_ = pp // bkv
+    ns_ = lp // bkv
     kw = dict(memory_space=pltpu.VMEM)
-    grid = (bq_, nh, lp // blq, kp // bkv)
-    qmap = lambda b, h, i, t: (b, h, i, 0)            # noqa: E731
-    kmap = lambda b, h, i, t: (b // div, h, t, 0)     # noqa: E731
-    mmap = lambda b, h, i, t: (b // div, 0, t)        # noqa: E731
-    kernel = functools.partial(_dq_kernel, scale=scale, causal=causal,
-                               blq=blq, bkv=bkv)
+    grid = (bq_, lp // blq, np_ + ns_)
+    qmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
+    lmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
+    skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
+    smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
+    pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
+    pmmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1))  # noqa: E731,E501
+    in_specs = [pl.BlockSpec((1, nh, blq, hd), qmap, **kw)]
+    args = [qq]
+    if has_prefix:
+        in_specs += [pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
+                     pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
+                     pl.BlockSpec((1, 1, bkv), pmmap, **kw)]
+        args += [pk, pv, pmask]
+    in_specs += [pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
+                 pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
+                 pl.BlockSpec((1, 1, bkv), smmap, **kw),
+                 pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
+                 pl.BlockSpec((1, nh, blq, 1), lmap, **kw),
+                 pl.BlockSpec((1, nh, blq, 1), lmap, **kw)]
+    args += [sk, sv, smask, g, lse, delta]
+    kernel = functools.partial(_dq_kernel, scale=scale, np_=np_, blq=blq,
+                               bkv=bkv, has_prefix=has_prefix,
+                               causal_self=causal_self)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
-            pl.BlockSpec((1, 1, bkv), mmap, **kw),
-            pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, 1, blq, 1), qmap, **kw),
-            pl.BlockSpec((1, 1, blq, 1), qmap, **kw),
-        ],
-        out_specs=pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
         out_shape=jax.ShapeDtypeStruct((bq_, nh, lp, hd), jnp.float32),
-        scratch_shapes=[],
         interpret=_INTERPRET,
-    )(q, k, v, kmask, g, lse, delta)
+    )(*args)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, g_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, *, scale, causal, blq, bkv, n_lq):
-    s_id = pl.program_id(3)
-    kvb = pl.program_id(2)
+    s_id = pl.program_id(2)
+    kvb = pl.program_id(1)
 
     @pl.when(s_id == 0)
     def _():
-        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
-        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    kmask = kmask_ref[0] > 0                              # [1, bkv]
+    q = q_ref[0]
+    k = k_ref[0]
+    s = _bdot(q, k, 2, 2) * scale                      # [nh, blq, bkv]
+    kmask = kmask_ref[0] > 0                           # [1, bkv]
     s = jnp.where(kmask, s, NEG)
     if causal:
         lqb = s_id % n_lq
-        rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 0)
-        cols = kvb * bkv + jax.lax.broadcasted_iota(jnp.int32, (blq, bkv), 1)
+        sh = (blq, bkv)
+        rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+        cols = kvb * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
         s = jnp.where(cols <= rows, s, NEG)
-    p = jnp.exp(s - lse_ref[0, 0])
-    g = g_ref[0, 0]
-    dv_ref[0, 0] = dv_ref[0, 0] + jax.lax.dot_general(
-        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(g, v_ref[0, 0], (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = p * (dp - delta_ref[0, 0]) * scale
-    dk_ref[0, 0] = dk_ref[0, 0] + jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse_ref[0])
+    g = g_ref[0]
+    dv_ref[0] = dv_ref[0] + _bdot(p.astype(g.dtype), g, 1, 1)
+    dp = _bdot(g, v_ref[0], 2, 2)
+    ds = p * (dp - delta_ref[0]) * scale
+    dk_ref[0] = dk_ref[0] + _bdot(ds.astype(q.dtype), q, 1, 1)
 
 
 def _dkv_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
@@ -255,50 +325,41 @@ def _dkv_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
     blq, bkv = _block(lp), _block(kp)
     n_lq = lp // blq
     kw = dict(memory_space=pltpu.VMEM)
-    grid = (bk_, nh, kp // bkv, div * n_lq)
-    qmap = lambda b, h, t, s: (b * div + s // n_lq, h, s % n_lq, 0)  # noqa: E731,E501
-    kmap = lambda b, h, t, s: (b, h, t, 0)            # noqa: E731
-    mmap = lambda b, h, t, s: (b, 0, t)               # noqa: E731
-    omap = lambda b, h, t, s: (b, h, t, 0)            # noqa: E731
+    grid = (bk_, kp // bkv, div * n_lq)
+    qmap = lambda b, t, s: (b * div + s // n_lq, 0, s % n_lq, 0)  # noqa: E731,E501
+    kmap = lambda b, t, s: (b, 0, t, 0)               # noqa: E731
+    mmap = lambda b, t, s: (b, 0, t)                  # noqa: E731
+    omap = lambda b, t, s: (b, 0, t, 0)               # noqa: E731
     kernel = functools.partial(_dkv_kernel, scale=scale, causal=causal,
                                blq=blq, bkv=bkv, n_lq=n_lq)
     dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), kmap, **kw),
+            pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
+            pl.BlockSpec((1, nh, bkv, hd), kmap, **kw),
+            pl.BlockSpec((1, nh, bkv, hd), kmap, **kw),
             pl.BlockSpec((1, 1, bkv), mmap, **kw),
-            pl.BlockSpec((1, 1, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, 1, blq, 1), qmap, **kw),
-            pl.BlockSpec((1, 1, blq, 1), qmap, **kw),
+            pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
+            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
+            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bkv, hd), omap, **kw),
-            pl.BlockSpec((1, 1, bkv, hd), omap, **kw),
+            pl.BlockSpec((1, nh, bkv, hd), omap, **kw),
+            pl.BlockSpec((1, nh, bkv, hd), omap, **kw),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bk_, nh, kp, hd), jnp.float32),
             jax.ShapeDtypeStruct((bk_, nh, kp, hd), jnp.float32),
         ],
-        scratch_shapes=[],
         interpret=_INTERPRET,
     )(q, k, v, kmask, g, lse, delta)
     return dk, dv
 
 
 # ---------------------------------------------------------------------------
-# custom-VJP wrapper: cross (shared prefix) + self (causal), lse-stitched
+# custom-VJP wrapper: cross (shared prefix) ++ self (causal), one sweep
 # ---------------------------------------------------------------------------
-
-def _combine(out_c, lse_c, out_s, lse_s):
-    m = jnp.maximum(lse_c, lse_s)
-    lse = m + jnp.log(jnp.exp(lse_c - m) + jnp.exp(lse_s - m))
-    wc = jnp.exp(lse_c - lse)
-    ws = jnp.exp(lse_s - lse)
-    return wc * out_c + ws * out_s, lse
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _prefix_flash(qq, qk, qv, pk, pv, qmask, pmask, scale, div):
@@ -307,11 +368,8 @@ def _prefix_flash(qq, qk, qv, pk, pv, qmask, pmask, scale, div):
 
 
 def _prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask, scale, div):
-    out_c, lse_c = _fwd_call(qq, pk, pv, pmask, scale=scale, causal=False,
-                             div=div)
-    out_s, lse_s = _fwd_call(qq, qk, qv, qmask, scale=scale, causal=True,
-                             div=1)
-    out, lse = _combine(out_c, lse_c, out_s, lse_s)
+    out, lse = _fwd_call(qq, qk, qv, qmask, pk, pv, pmask, scale=scale,
+                         div=div)
     return out, (qq, qk, qv, pk, pv, qmask, pmask, out, lse)
 
 
@@ -320,16 +378,14 @@ def _prefix_flash_bwd(scale, div, res, g):
     g = g.astype(jnp.float32)
     delta = jnp.sum(g * out, axis=-1, keepdims=True)     # [BQ,nh,Lp,1]
     gc = g.astype(qq.dtype)
-    dq_c = _dq_call(qq, pk, pv, pmask, gc, lse, delta, scale=scale,
-                    causal=False, div=div)
-    dq_s = _dq_call(qq, qk, qv, qmask, gc, lse, delta, scale=scale,
-                    causal=True, div=1)
+    dq = _dq_call(qq, qk, qv, qmask, pk, pv, pmask, gc, lse, delta,
+                  scale=scale, div=div)
     dpk, dpv = _dkv_call(qq, pk, pv, pmask, gc, lse, delta, scale=scale,
                          causal=False, div=div)
     dqk, dqv = _dkv_call(qq, qk, qv, qmask, gc, lse, delta, scale=scale,
                          causal=True, div=1)
     dt = qq.dtype
-    return ((dq_c + dq_s).astype(dt), dqk.astype(dt), dqv.astype(dt),
+    return (dq.astype(dt), dqk.astype(dt), dqv.astype(dt),
             dpk.astype(pk.dtype), dpv.astype(pv.dtype), None, None)
 
 
@@ -347,7 +403,7 @@ def _causal_flash(q, k, v, kmask, scale):
 
 
 def _causal_flash_fwd(q, k, v, kmask, scale):
-    out, lse = _fwd_call(q, k, v, kmask, scale=scale, causal=True, div=1)
+    out, lse = _fwd_call(q, k, v, kmask, scale=scale)
     return out, (q, k, v, kmask, out, lse)
 
 
@@ -356,8 +412,8 @@ def _causal_flash_bwd(scale, res, g):
     g32 = g.astype(jnp.float32)
     delta = jnp.sum(g32 * out, axis=-1, keepdims=True)
     gc = g32.astype(q.dtype)
-    dq = _dq_call(q, k, v, kmask, gc, lse, delta, scale=scale, causal=True,
-                  div=1)
+    dq = _dq_call(q, k, v, kmask, None, None, None, gc, lse, delta,
+                  scale=scale)
     dk, dv = _dkv_call(q, k, v, kmask, gc, lse, delta, scale=scale,
                        causal=True, div=1)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None

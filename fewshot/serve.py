@@ -15,8 +15,15 @@ serves:
 
 Requests are padded to the server's fixed batch size so every call replays
 the same compiled program — no recompiles, no per-token host round-trips.
-Device work is serialized with a lock (single chip); the HTTP layer is
+Device work is serialized by the batching worker thread; the HTTP layer is
 stdlib ThreadingHTTPServer, so health checks never block behind generation.
+
+Multi-chip: pass a 1-D data mesh (cfg.data_parallel, the training mesh) and
+the batched /generate call runs SPMD — per-row inputs (artists, keys,
+temperatures) are sharded over the mesh, params/corpus are replicated, and
+GSPMD shards the whole support-prime + decode program.  Row semantics are
+unchanged (per-row PRNG keys), so outputs are bit-identical to the
+single-chip program's; the batch is rounded up to a mesh multiple.
 """
 
 from __future__ import annotations
@@ -63,20 +70,36 @@ class Generator:
     """
 
     def __init__(self, cfg, corpus, params, batch_size: int | None = None,
-                 batch_deadline_ms: float = 5.0):
+                 batch_deadline_ms: float = 5.0, mesh=None):
         import queue
         self.cfg = cfg
         self.corpus = corpus
-        self.params = params
         self.batch = batch_size or max(4, cfg.batch_size)
         self.deadline = batch_deadline_ms / 1e3
-        self.data = eps.put_corpus(corpus)
+        if mesh is not None and mesh.devices.size == 1:
+            mesh = None                 # nothing to shard (see training.py)
+        self.mesh = mesh
+        self._row_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from fewshot.parallel.mesh import AXIS
+            n = mesh.devices.size
+            self.batch = -(-self.batch // n) * n        # mesh multiple
+            self._row_sharding = NamedSharding(mesh, P(AXIS))
+            rep = NamedSharding(mesh, P())
+            params = jax.device_put(params, rep)
+        self.params = params
+        self.data = eps.put_corpus(corpus, mesh=mesh)
         self.splits = {k: np.asarray(v) for k, v in corpus.splits.items()}
         self.token_masks = None
         if cfg.dataset == "midi" and cfg.grammar_sampling and \
                 not corpus.merges:
             self.token_masks = jnp.asarray(
                 midi_mod.grammar_masks(corpus.vocab))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.token_masks = jax.device_put(
+                    self.token_masks, NamedSharding(mesh, P()))
         self._artist_index = {name: i for i, name
                               in enumerate(corpus.artist_names)}
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -99,13 +122,19 @@ class Generator:
         gen_keys = jnp.stack([
             jax.random.fold_in(jax.random.PRNGKey(int(s)), 1)
             for s in seeds])
+        artist_ids = jnp.asarray(artists, jnp.int32)
+        temps = jnp.asarray(temps, jnp.float32)
+        if self._row_sharding is not None:
+            # Shard the per-row inputs over the data mesh; GSPMD then runs
+            # the whole episode-gather + support-prime + decode SPMD.
+            ep_keys, gen_keys, artist_ids, temps = jax.device_put(
+                (ep_keys, gen_keys, artist_ids, temps), self._row_sharding)
         ep = eps.sample_episode_for_artists(
-            ep_keys, self.data, jnp.asarray(artists, jnp.int32),
+            ep_keys, self.data, artist_ids,
             k=self.cfg.support_size, q=self.cfg.query_size)
         toks = sampling_mod.generate(
             self.params, ep.support, ep.support_len, gen_keys, self.cfg,
-            token_masks=self.token_masks,
-            temperature=jnp.asarray(temps, jnp.float32))
+            token_masks=self.token_masks, temperature=temps)
         return np.asarray(jax.device_get(toks))
 
     def _row_specs(self, req: _Request, rng: np.random.RandomState):
@@ -303,7 +332,9 @@ def serve_main(argv=None) -> None:
     if args.checkpt_dir and not restored:
         import sys
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
-    gen = Generator(cfg, corpus, state.params, args.serve_batch)
+    from fewshot.parallel.mesh import make_mesh
+    mesh = make_mesh() if cfg.data_parallel else None
+    gen = Generator(cfg, corpus, state.params, args.serve_batch, mesh=mesh)
     server = serve(gen, args.host, args.port)
     print(f"serving on http://{args.host}:{args.port} "
           f"(warmup {gen.warm_s:.1f}s, batch {gen.batch})", flush=True)

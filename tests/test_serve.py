@@ -113,6 +113,27 @@ def test_request_larger_than_window_carries(server):
             assert len(body["continuations"]) == 3
 
 
+def test_multichip_serving_matches_single(tiny_corpus):
+    """Sharding /generate over the 8-device mesh changes NOTHING row-wise.
+
+    Per-row PRNG keys make the program batch-layout invariant, so the GSPMD
+    run must produce bit-identical continuations to the meshless one."""
+    from fewshot.parallel.mesh import make_mesh
+    state = training.init_train_state(CFG, len(tiny_corpus.vocab))
+    plain = Generator(CFG, tiny_corpus, state.params, batch_size=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8    # conftest forces the virtual mesh
+    sharded = Generator(CFG, tiny_corpus, state.params, batch_size=8,
+                        mesh=mesh)
+    assert sharded.batch == 8
+    assert sharded._row_sharding is not None
+    for seed in (3, 11):
+        a = plain.generate(num=8, split="train", episode_seed=seed)
+        b = sharded.generate(num=8, split="train", episode_seed=seed)
+        assert [r["text"] for r in a] == [r["text"] for r in b]
+        assert [r["artist"] for r in a] == [r["artist"] for r in b]
+
+
 def test_seed_reproducible_regardless_of_batching(server):
     """A request's output must not depend on what it was coalesced with."""
     import concurrent.futures as cf
