@@ -66,6 +66,40 @@ def _block(n: int, cap: int = 512) -> int:
     return 128
 
 
+_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _fit_blocks(lp: int, kp: int, nh: int, hd: int, sb: int,
+                nq_st: int, nq_f32: int, nkv_st: int, nkv_f32: int
+                ) -> tuple[int, int]:
+    """(blq, bkv) whose VMEM footprint fits Mosaic's 16MB scoped budget.
+
+    Two head-folding costs the naive `_block` picker missed (found the
+    hard way: pp=1024 shapes OOM'd at 18-20MB):
+      * Mosaic tiles the LAST dim to 128 lanes, so hd=32 blocks occupy
+        4x their logical bytes (double-buffered, charged 2x);
+      * kernel temporaries (s, p, dp...) are [nh, blq, bkv] f32 on the
+        VMEM stack — nh-fold bigger than the v1 per-head kernels'; ~3
+        live at once.
+    n*_st / n*_f32 count the stream-dtype and f32 buffers keyed to each
+    block size."""
+    ph = _ceil_to(hd, 128)
+
+    def est(blq, bkv):
+        bufs = 2 * nh * ph * (blq * (nq_st * sb + nq_f32 * 4)
+                              + bkv * (nkv_st * sb + nkv_f32 * 4))
+        temps = 3 * nh * blq * bkv * 4
+        return bufs + temps
+
+    blq, bkv = _block(lp), _block(kp)
+    while est(blq, bkv) > _VMEM_BUDGET and max(blq, bkv) > 128:
+        if bkv >= blq and bkv > 128:
+            bkv = _block(kp, bkv - 128)
+        else:
+            blq = _block(lp, blq - 128)
+    return blq, bkv
+
+
 def _bdot(a, b, contract_a, contract_b):
     """nh-batched matmul: a [nh, m, ca], b [nh, n, cb] -> [nh, m, n] fp32."""
     return jax.lax.dot_general(
@@ -105,15 +139,17 @@ def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
             rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
             cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
             s = jnp.where(cols <= rows, s, NEG)
-        m_prev = m_sc[:, :, 0:1]                       # [nh, blq, 1]
-        l_prev = l_sc[:, :, 0:1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        # running (m, l) live as [nh, blq] (blq on the LANES — a trailing
+        # singleton dim would be padded to 128 lanes and cost real VMEM)
+        m_prev = m_sc[:]                               # [nh, blq]
+        l_prev = l_sc[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_sc[:, :, 0:1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        m_sc[:, :, 0:1] = m_new
+        p = jnp.exp(s - m_new[..., None])
+        l_sc[:] = alpha * l_prev + jnp.sum(p, axis=-1)
+        m_sc[:] = m_new
         pv = _bdot(p.astype(v_ref.dtype), v_ref[0], 2, 1)   # [nh, blq, hd]
-        out_ref[0] = out_ref[0] * alpha + pv
+        out_ref[0] = out_ref[0] * alpha[..., None] + pv
 
     if has_prefix:
         @pl.when(t < np_)
@@ -128,9 +164,9 @@ def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
 
     @pl.when(t == n_t - 1)
     def _():
-        l = l_sc[:, :, 0:1]
-        out_ref[0] = out_ref[0] / jnp.where(l == 0.0, 1.0, l)
-        lse_ref[0] = m_sc[:, :, 0:1] + jnp.log(jnp.maximum(l, 1e-30))
+        l = l_sc[:]                                    # [nh, blq]
+        out_ref[0] = out_ref[0] / jnp.where(l == 0.0, 1.0, l)[..., None]
+        lse_ref[0] = m_sc[:] + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
@@ -139,12 +175,14 @@ def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
 
     smask [BQ,1,Lp] f32, pmask [BK,1,Pp] f32.  BK = BQ // div; each group
     of `div` consecutive q-batch rows shares the prefix k/v/mask.
-    Returns (out [BQ,nh,Lp,hd] f32, lse [BQ,nh,Lp,1] f32)."""
+    Returns (out [BQ,nh,Lp,hd] f32, lse [BQ,nh,Lp] f32)."""
     bq_, nh, lp, hd = qq.shape
     has_prefix = pk is not None
     pp = pk.shape[2] if has_prefix else 0
-    blq = _block(lp)
-    bkv = _block(math.gcd(pp, lp) if has_prefix else lp)
+    sb = jnp.dtype(qq.dtype).itemsize
+    blq, bkv = _fit_blocks(lp, math.gcd(pp, lp) if has_prefix else lp,
+                           nh, hd, sb, nq_st=1, nq_f32=1,
+                           nkv_st=4 if has_prefix else 2, nkv_f32=0)
     np_ = pp // bkv
     ns_ = lp // bkv
     kw = dict(memory_space=pltpu.VMEM)
@@ -175,15 +213,15 @@ def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
+            pl.BlockSpec((1, nh, blq), lambda b, i, t: (b, 0, i), **kw),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bq_, nh, lp, hd), jnp.float32),
-            jax.ShapeDtypeStruct((bq_, nh, lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bq_, nh, lp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nh, blq, 1), jnp.float32),
-            pltpu.VMEM((nh, blq, 1), jnp.float32),
+            pltpu.VMEM((nh, blq), jnp.float32),
+            pltpu.VMEM((nh, blq), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * bq_ * nh * lp * (pp + lp) * hd,
@@ -224,10 +262,10 @@ def _dq_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
             rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
             cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
             s = jnp.where(cols <= rows, s, NEG)
-        p = jnp.exp(s - lse_ref[0])                    # global probs
+        p = jnp.exp(s - lse_ref[0][..., None])         # global probs
         g = g_ref[0]
         dp = _bdot(g, v_ref[0], 2, 2)                  # [nh, blq, bkv]
-        ds = p * (dp - delta_ref[0]) * scale
+        ds = p * (dp - delta_ref[0][..., None]) * scale
         dq_ref[0] = dq_ref[0] + _bdot(ds.astype(k.dtype), k, 2, 1)
 
     if has_prefix:
@@ -247,14 +285,16 @@ def _dq_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
     bq_, nh, lp, hd = qq.shape
     has_prefix = pk is not None
     pp = pk.shape[2] if has_prefix else 0
-    blq = _block(lp)
-    bkv = _block(math.gcd(pp, lp) if has_prefix else lp)
+    sb = jnp.dtype(qq.dtype).itemsize
+    blq, bkv = _fit_blocks(lp, math.gcd(pp, lp) if has_prefix else lp,
+                           nh, hd, sb, nq_st=2, nq_f32=1,
+                           nkv_st=4 if has_prefix else 2, nkv_f32=0)
     np_ = pp // bkv
     ns_ = lp // bkv
     kw = dict(memory_space=pltpu.VMEM)
     grid = (bq_, lp // blq, np_ + ns_)
     qmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
-    lmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
+    lmap = lambda b, i, t: (b, 0, i)                               # noqa: E731
     skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
     smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
     pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
@@ -270,8 +310,8 @@ def _dq_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
                  pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
                  pl.BlockSpec((1, 1, bkv), smmap, **kw),
                  pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-                 pl.BlockSpec((1, nh, blq, 1), lmap, **kw),
-                 pl.BlockSpec((1, nh, blq, 1), lmap, **kw)]
+                 pl.BlockSpec((1, nh, blq), lmap, **kw),
+                 pl.BlockSpec((1, nh, blq), lmap, **kw)]
     args += [sk, sv, smask, g, lse, delta]
     kernel = functools.partial(_dq_kernel, scale=scale, np_=np_, blq=blq,
                                bkv=bkv, has_prefix=has_prefix,
@@ -307,11 +347,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, g_ref, lse_ref, delta_ref,
         rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
         cols = kvb * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
         s = jnp.where(cols <= rows, s, NEG)
-    p = jnp.exp(s - lse_ref[0])
+    p = jnp.exp(s - lse_ref[0][..., None])
     g = g_ref[0]
     dv_ref[0] = dv_ref[0] + _bdot(p.astype(g.dtype), g, 1, 1)
     dp = _bdot(g, v_ref[0], 2, 2)
-    ds = p * (dp - delta_ref[0]) * scale
+    ds = p * (dp - delta_ref[0][..., None]) * scale
     dk_ref[0] = dk_ref[0] + _bdot(ds.astype(q.dtype), q, 1, 1)
 
 
@@ -322,11 +362,14 @@ def _dkv_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
     bq_, nh, lp, hd = q.shape
     bk_ = k.shape[0]
     kp = k.shape[2]
-    blq, bkv = _block(lp), _block(kp)
+    sb = jnp.dtype(q.dtype).itemsize
+    blq, bkv = _fit_blocks(lp, kp, nh, hd, sb, nq_st=2, nq_f32=0,
+                           nkv_st=2, nkv_f32=2)
     n_lq = lp // blq
     kw = dict(memory_space=pltpu.VMEM)
     grid = (bk_, kp // bkv, div * n_lq)
     qmap = lambda b, t, s: (b * div + s // n_lq, 0, s % n_lq, 0)  # noqa: E731,E501
+    lmap = lambda b, t, s: (b * div + s // n_lq, 0, s % n_lq)  # noqa: E731
     kmap = lambda b, t, s: (b, 0, t, 0)               # noqa: E731
     mmap = lambda b, t, s: (b, 0, t)                  # noqa: E731
     omap = lambda b, t, s: (b, 0, t, 0)               # noqa: E731
@@ -341,8 +384,8 @@ def _dkv_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
             pl.BlockSpec((1, nh, bkv, hd), kmap, **kw),
             pl.BlockSpec((1, 1, bkv), mmap, **kw),
             pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
-            pl.BlockSpec((1, nh, blq, 1), qmap, **kw),
+            pl.BlockSpec((1, nh, blq), lmap, **kw),
+            pl.BlockSpec((1, nh, blq), lmap, **kw),
         ],
         out_specs=[
             pl.BlockSpec((1, nh, bkv, hd), omap, **kw),
@@ -376,7 +419,7 @@ def _prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask, scale, div):
 def _prefix_flash_bwd(scale, div, res, g):
     qq, qk, qv, pk, pv, qmask, pmask, out, lse = res
     g = g.astype(jnp.float32)
-    delta = jnp.sum(g * out, axis=-1, keepdims=True)     # [BQ,nh,Lp,1]
+    delta = jnp.sum(g * out, axis=-1)                    # [BQ, nh, Lp]
     gc = g.astype(qq.dtype)
     dq = _dq_call(qq, qk, qv, qmask, pk, pv, pmask, gc, lse, delta,
                   scale=scale, div=div)
@@ -410,7 +453,7 @@ def _causal_flash_fwd(q, k, v, kmask, scale):
 def _causal_flash_bwd(scale, res, g):
     q, k, v, kmask, out, lse = res
     g32 = g.astype(jnp.float32)
-    delta = jnp.sum(g32 * out, axis=-1, keepdims=True)
+    delta = jnp.sum(g32 * out, axis=-1)                  # [B, nh, T]
     gc = g32.astype(q.dtype)
     dq = _dq_call(q, k, v, kmask, None, None, None, gc, lse, delta,
                   scale=scale)
