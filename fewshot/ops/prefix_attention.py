@@ -97,7 +97,30 @@ def _fit_blocks(lp: int, kp: int, nh: int, hd: int, sb: int,
             bkv = _block(kp, bkv - 128)
         else:
             blq = _block(lp, blq - 128)
+    if est(blq, bkv) > _VMEM_BUDGET:
+        import warnings
+        warnings.warn(
+            f"prefix-attention blocks floor at (blq={blq}, bkv={bkv}) but "
+            f"the estimated VMEM footprint ({est(blq, bkv) >> 20}MB) still "
+            f"exceeds the {_VMEM_BUDGET >> 20}MB budget (nh={nh}, hd={hd}) "
+            f"— Mosaic may fail with a scoped-vmem OOM; reduce num_heads "
+            f"or head_dim, or disable prefix_flash", stacklevel=3)
     return blq, bkv
+
+
+def _scores(q, k_ref, mask_ref, scale, row0, col0, blq, bkv):
+    """Masked (optionally causal) score tile [nh, blq, bkv], fp32.
+
+    row0/col0: global offsets of the tile's first row/column; col0=None
+    skips the causal comparison (the cross-prefix branch)."""
+    s = _bdot(q, k_ref[0], 2, 2) * scale
+    s = jnp.where(mask_ref[0] > 0, s, NEG)
+    if col0 is not None:
+        sh = (blq, bkv)
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+        cols = col0 + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+        s = jnp.where(cols <= rows, s, NEG)
+    return s
 
 
 def _bdot(a, b, contract_a, contract_b):
@@ -108,10 +131,74 @@ def _bdot(a, b, contract_a, contract_b):
 
 
 # ---------------------------------------------------------------------------
+# merged-sweep glue shared by the forward and dq kernels
+# ---------------------------------------------------------------------------
+
+class _Sweep:
+    """Grid + BlockSpecs for one online-softmax sweep (prefix ++ self).
+
+    ONE source of truth for the clamped index maps: the inactive input
+    parks on its last-fetched block (prefix clamps at np_-1 during the
+    self phase, self clamps at 0 during the prefix phase), so Pallas
+    skips the redundant DMA and the merge costs no bandwidth."""
+
+    def __init__(self, qq, pk, *, div, nq_st, nq_f32, nkv_st):
+        bq_, nh, lp, hd = qq.shape
+        self.has_prefix = pk is not None
+        pp = pk.shape[2] if self.has_prefix else 0
+        sb = jnp.dtype(qq.dtype).itemsize
+        blq, bkv = _fit_blocks(
+            lp, math.gcd(pp, lp) if self.has_prefix else lp, nh, hd, sb,
+            nq_st=nq_st, nq_f32=nq_f32, nkv_st=nkv_st, nkv_f32=0)
+        self.bq, self.nh, self.lp, self.hd = bq_, nh, lp, hd
+        self.blq, self.bkv = blq, bkv
+        np_, ns_ = pp // bkv, lp // bkv
+        self.np_ = np_
+        self.grid = (bq_, lp // blq, np_ + ns_)
+        kw = dict(memory_space=pltpu.VMEM)
+        self.kw = kw
+        qmap = lambda b, i, t: (b, 0, i, 0)                        # noqa: E731
+        skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
+        smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
+        pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
+        pmmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1))  # noqa: E731,E501
+        self.qspec = pl.BlockSpec((1, nh, blq, hd), qmap, **kw)
+        self.lspec = pl.BlockSpec((1, nh, blq),
+                                  lambda b, i, t: (b, 0, i), **kw)
+        self.pkspec = pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw)
+        self.pmspec = pl.BlockSpec((1, 1, bkv), pmmap, **kw)
+        self.skspec = pl.BlockSpec((1, nh, bkv, hd), skmap, **kw)
+        self.smspec = pl.BlockSpec((1, 1, bkv), smmap, **kw)
+
+    def kv_specs_args(self, pk, pv, pmask, sk, sv, smask):
+        if self.has_prefix:
+            return ([self.pkspec, self.pkspec, self.pmspec,
+                     self.skspec, self.skspec, self.smspec],
+                    [pk, pv, pmask, sk, sv, smask])
+        return ([self.skspec, self.skspec, self.smspec], [sk, sv, smask])
+
+
+def _per_branch(has_prefix, np_, t, update):
+    """Run `update(prefix: bool)` for the branch grid step t belongs to.
+
+    The self branch is always causal; the prefix branch never is."""
+    if has_prefix:
+        @pl.when(t < np_)
+        def _():
+            update(prefix=True)
+
+        @pl.when(t >= np_)
+        def _():
+            update(prefix=False)
+    else:
+        update(prefix=False)
+
+
+# ---------------------------------------------------------------------------
 # forward kernel: one online-softmax sweep over (prefix blocks ++ self blocks)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
+def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix):
     if has_prefix:
         (q_ref, pk_ref, pv_ref, pm_ref, sk_ref, sv_ref, sm_ref,
          out_ref, lse_ref, m_sc, l_sc) = refs
@@ -128,17 +215,12 @@ def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
         l_sc[:] = jnp.zeros_like(l_sc)
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    def update(k_ref, v_ref, mask_ref, causal, tkv):
-        q = q_ref[0]                                   # [nh, blq, hd]
-        k = k_ref[0]                                   # [nh, bkv, hd]
-        s = _bdot(q, k, 2, 2) * scale                  # [nh, blq, bkv]
-        kmask = mask_ref[0] > 0                        # [1, bkv]
-        s = jnp.where(kmask, s, NEG)
-        if causal:
-            sh = (blq, bkv)
-            rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-            cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-            s = jnp.where(cols <= rows, s, NEG)
+    def update(prefix: bool):
+        k_ref, v_ref, mask_ref = ((pk_ref, pv_ref, pm_ref) if prefix
+                                  else (sk_ref, sv_ref, sm_ref))
+        col0 = None if prefix else (t - np_) * bkv
+        s = _scores(q_ref[0], k_ref, mask_ref, scale, i * blq, col0,
+                    blq, bkv)
         # running (m, l) live as [nh, blq] (blq on the LANES — a trailing
         # singleton dim would be padded to 128 lanes and cost real VMEM)
         m_prev = m_sc[:]                               # [nh, blq]
@@ -151,16 +233,7 @@ def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
         pv = _bdot(p.astype(v_ref.dtype), v_ref[0], 2, 1)   # [nh, blq, hd]
         out_ref[0] = out_ref[0] * alpha[..., None] + pv
 
-    if has_prefix:
-        @pl.when(t < np_)
-        def _():
-            update(pk_ref, pv_ref, pm_ref, causal=False, tkv=None)
-
-        @pl.when(t >= np_)
-        def _():
-            update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t - np_)
-    else:
-        update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t)
+    _per_branch(has_prefix, np_, t, update)
 
     @pl.when(t == n_t - 1)
     def _():
@@ -170,66 +243,40 @@ def _fwd_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
 
 
 def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
-              scale, div=1, causal_self=True):
+              scale, div=1):
     """qq/sk/sv [BQ,nh,Lp,hd] (self stream); pk/pv [BK,nh,Pp,hd] or None.
 
     smask [BQ,1,Lp] f32, pmask [BK,1,Pp] f32.  BK = BQ // div; each group
     of `div` consecutive q-batch rows shares the prefix k/v/mask.
     Returns (out [BQ,nh,Lp,hd] f32, lse [BQ,nh,Lp] f32)."""
-    bq_, nh, lp, hd = qq.shape
-    has_prefix = pk is not None
-    pp = pk.shape[2] if has_prefix else 0
-    sb = jnp.dtype(qq.dtype).itemsize
-    blq, bkv = _fit_blocks(lp, math.gcd(pp, lp) if has_prefix else lp,
-                           nh, hd, sb, nq_st=1, nq_f32=1,
-                           nkv_st=4 if has_prefix else 2, nkv_f32=0)
-    np_ = pp // bkv
-    ns_ = lp // bkv
-    kw = dict(memory_space=pltpu.VMEM)
-    grid = (bq_, lp // blq, np_ + ns_)
-    qmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
-    skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
-    smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
-    pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
-    pmmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1))  # noqa: E731,E501
-    in_specs = [pl.BlockSpec((1, nh, blq, hd), qmap, **kw)]
-    args = [qq]
-    if has_prefix:
-        in_specs += [pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
-                     pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
-                     pl.BlockSpec((1, 1, bkv), pmmap, **kw)]
-        args += [pk, pv, pmask]
-    in_specs += [pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
-                 pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
-                 pl.BlockSpec((1, 1, bkv), smmap, **kw)]
-    args += [sk, sv, smask]
-    kernel = functools.partial(_fwd_kernel, scale=scale, np_=np_, blq=blq,
-                               bkv=bkv, has_prefix=has_prefix,
-                               causal_self=causal_self)
-    kp_eff = pp // max(div, 1) + lp
+    sw = _Sweep(qq, pk, div=div, nq_st=1, nq_f32=1,
+                nkv_st=4 if pk is not None else 2)
+    kv_specs, kv_args = sw.kv_specs_args(pk, pv, pmask, sk, sv, smask)
+    kernel = functools.partial(_fwd_kernel, scale=scale, np_=sw.np_,
+                               blq=sw.blq, bkv=sw.bkv,
+                               has_prefix=sw.has_prefix)
+    pp = pk.shape[2] if pk is not None else 0
+    kp_eff = pp // max(div, 1) + sw.lp
     out, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-            pl.BlockSpec((1, nh, blq), lambda b, i, t: (b, 0, i), **kw),
-        ],
+        grid=sw.grid,
+        in_specs=[sw.qspec] + kv_specs,
+        out_specs=[sw.qspec, sw.lspec],
         out_shape=[
-            jax.ShapeDtypeStruct((bq_, nh, lp, hd), jnp.float32),
-            jax.ShapeDtypeStruct((bq_, nh, lp), jnp.float32),
+            jax.ShapeDtypeStruct((sw.bq, sw.nh, sw.lp, sw.hd), jnp.float32),
+            jax.ShapeDtypeStruct((sw.bq, sw.nh, sw.lp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nh, blq), jnp.float32),
-            pltpu.VMEM((nh, blq), jnp.float32),
+            pltpu.VMEM((sw.nh, sw.blq), jnp.float32),
+            pltpu.VMEM((sw.nh, sw.blq), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * bq_ * nh * lp * (pp + lp) * hd,
-            bytes_accessed=4 * bq_ * nh * (lp + kp_eff) * hd * 2,
-            transcendentals=bq_ * nh * lp * (pp + lp),
+            flops=4 * sw.bq * sw.nh * sw.lp * (pp + sw.lp) * sw.hd,
+            bytes_accessed=4 * sw.bq * sw.nh * (sw.lp + kp_eff) * sw.hd * 2,
+            transcendentals=sw.bq * sw.nh * sw.lp * (pp + sw.lp),
         ),
         interpret=_INTERPRET,
-    )(*args)
+    )(qq, *kv_args)
     return out, lse
 
 
@@ -237,7 +284,7 @@ def _fwd_call(qq, sk, sv, smask, pk=None, pv=None, pmask=None, *,
 # backward kernels (fed the GLOBAL lse/delta)
 # ---------------------------------------------------------------------------
 
-def _dq_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
+def _dq_kernel(*refs, scale, np_, blq, bkv, has_prefix):
     if has_prefix:
         (q_ref, pk_ref, pv_ref, pm_ref, sk_ref, sv_ref, sm_ref,
          g_ref, lse_ref, delta_ref, dq_ref) = refs
@@ -251,79 +298,39 @@ def _dq_kernel(*refs, scale, np_, blq, bkv, has_prefix, causal_self):
     def _():
         dq_ref[0] = jnp.zeros_like(dq_ref[0])
 
-    def update(k_ref, v_ref, mask_ref, causal, tkv):
-        q = q_ref[0]
-        k = k_ref[0]
-        s = _bdot(q, k, 2, 2) * scale                  # [nh, blq, bkv]
-        kmask = mask_ref[0] > 0
-        s = jnp.where(kmask, s, NEG)
-        if causal:
-            sh = (blq, bkv)
-            rows = i * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-            cols = tkv * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-            s = jnp.where(cols <= rows, s, NEG)
+    def update(prefix: bool):
+        k_ref, v_ref, mask_ref = ((pk_ref, pv_ref, pm_ref) if prefix
+                                  else (sk_ref, sv_ref, sm_ref))
+        col0 = None if prefix else (t - np_) * bkv
+        s = _scores(q_ref[0], k_ref, mask_ref, scale, i * blq, col0,
+                    blq, bkv)
         p = jnp.exp(s - lse_ref[0][..., None])         # global probs
         g = g_ref[0]
         dp = _bdot(g, v_ref[0], 2, 2)                  # [nh, blq, bkv]
         ds = p * (dp - delta_ref[0][..., None]) * scale
+        k = k_ref[0]
         dq_ref[0] = dq_ref[0] + _bdot(ds.astype(k.dtype), k, 2, 1)
 
-    if has_prefix:
-        @pl.when(t < np_)
-        def _():
-            update(pk_ref, pv_ref, pm_ref, causal=False, tkv=None)
-
-        @pl.when(t >= np_)
-        def _():
-            update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t - np_)
-    else:
-        update(sk_ref, sv_ref, sm_ref, causal=causal_self, tkv=t)
+    _per_branch(has_prefix, np_, t, update)
 
 
 def _dq_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
-             scale, div=1, causal_self=True):
-    bq_, nh, lp, hd = qq.shape
-    has_prefix = pk is not None
-    pp = pk.shape[2] if has_prefix else 0
-    sb = jnp.dtype(qq.dtype).itemsize
-    blq, bkv = _fit_blocks(lp, math.gcd(pp, lp) if has_prefix else lp,
-                           nh, hd, sb, nq_st=2, nq_f32=1,
-                           nkv_st=4 if has_prefix else 2, nkv_f32=0)
-    np_ = pp // bkv
-    ns_ = lp // bkv
-    kw = dict(memory_space=pltpu.VMEM)
-    grid = (bq_, lp // blq, np_ + ns_)
-    qmap = lambda b, i, t: (b, 0, i, 0)                            # noqa: E731
-    lmap = lambda b, i, t: (b, 0, i)                               # noqa: E731
-    skmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1), 0)  # noqa: E731,E501
-    smmap = lambda b, i, t: (b, 0, jnp.clip(t - np_, 0, ns_ - 1))  # noqa: E731,E501
-    pkmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1), 0)  # noqa: E731,E501
-    pmmap = lambda b, i, t: (b // div, 0, jnp.minimum(t, np_ - 1))  # noqa: E731,E501
-    in_specs = [pl.BlockSpec((1, nh, blq, hd), qmap, **kw)]
-    args = [qq]
-    if has_prefix:
-        in_specs += [pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
-                     pl.BlockSpec((1, nh, bkv, hd), pkmap, **kw),
-                     pl.BlockSpec((1, 1, bkv), pmmap, **kw)]
-        args += [pk, pv, pmask]
-    in_specs += [pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
-                 pl.BlockSpec((1, nh, bkv, hd), skmap, **kw),
-                 pl.BlockSpec((1, 1, bkv), smmap, **kw),
-                 pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-                 pl.BlockSpec((1, nh, blq), lmap, **kw),
-                 pl.BlockSpec((1, nh, blq), lmap, **kw)]
-    args += [sk, sv, smask, g, lse, delta]
-    kernel = functools.partial(_dq_kernel, scale=scale, np_=np_, blq=blq,
-                               bkv=bkv, has_prefix=has_prefix,
-                               causal_self=causal_self)
+             scale, div=1):
+    sw = _Sweep(qq, pk, div=div, nq_st=2, nq_f32=1,
+                nkv_st=4 if pk is not None else 2)
+    kv_specs, kv_args = sw.kv_specs_args(pk, pv, pmask, sk, sv, smask)
+    kernel = functools.partial(_dq_kernel, scale=scale, np_=sw.np_,
+                               blq=sw.blq, bkv=sw.bkv,
+                               has_prefix=sw.has_prefix)
     return pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nh, blq, hd), qmap, **kw),
-        out_shape=jax.ShapeDtypeStruct((bq_, nh, lp, hd), jnp.float32),
+        grid=sw.grid,
+        in_specs=[sw.qspec] + kv_specs + [sw.qspec, sw.lspec, sw.lspec],
+        out_specs=sw.qspec,
+        out_shape=jax.ShapeDtypeStruct((sw.bq, sw.nh, sw.lp, sw.hd),
+                                       jnp.float32),
         interpret=_INTERPRET,
-    )(*args)
+    )(qq, *kv_args, g, lse, delta)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, g_ref, lse_ref, delta_ref,
@@ -337,16 +344,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, kmask_ref, g_ref, lse_ref, delta_ref,
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
     q = q_ref[0]
-    k = k_ref[0]
-    s = _bdot(q, k, 2, 2) * scale                      # [nh, blq, bkv]
-    kmask = kmask_ref[0] > 0                           # [1, bkv]
-    s = jnp.where(kmask, s, NEG)
-    if causal:
-        lqb = s_id % n_lq
-        sh = (blq, bkv)
-        rows = lqb * blq + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-        cols = kvb * bkv + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-        s = jnp.where(cols <= rows, s, NEG)
+    col0 = kvb * bkv if causal else None
+    s = _scores(q, k_ref, kmask_ref, scale, (s_id % n_lq) * blq, col0,
+                blq, bkv)
     p = jnp.exp(s - lse_ref[0][..., None])
     g = g_ref[0]
     dv_ref[0] = dv_ref[0] + _bdot(p.astype(g.dtype), g, 1, 1)

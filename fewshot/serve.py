@@ -332,6 +332,14 @@ def serve_main(argv=None) -> None:
     if args.checkpt_dir and not restored:
         import sys
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
+    if jax.process_count() > 1:
+        # Multi-chip serving is single-process (one host's chips): with
+        # multiple processes, each server's independent HTTP stream would
+        # drive divergent cross-host collectives and hang.  Fail fast.
+        import sys
+        sys.exit("serve.py is single-process; launch it WITHOUT "
+                 "FEWSHOT_COORDINATOR / FEWSHOT_NUM_PROCESSES (multi-chip "
+                 "serving shards over the local chips only)")
     from fewshot.parallel.mesh import make_mesh
     mesh = make_mesh() if cfg.data_parallel else None
     gen = Generator(cfg, corpus, state.params, args.serve_batch, mesh=mesh)

@@ -62,12 +62,23 @@ def main(argv=None) -> None:
                       overrides={"data_parallel": False,
                                  "eval_interval": 10 ** 9})
     if args.big:
-        cfg = dataclasses.replace(cfg, support_size=20, batch_size=4,
-                                  max_len=min(512, corpus.max_len),
+        # K=20 needs >= K+Q songs per artist; build a dedicated corpus
+        big_dir = Path("data/big_midi")
+        if not (big_dir / "corpus.npz").exists():
+            import subprocess
+            subprocess.run([sys.executable, "scripts/prepare_data.py",
+                            "--synthetic", "--dataset", "midi",
+                            "--out", str(big_dir), "--artists", "12",
+                            "--songs", "32", "--max_len", "512"],
+                           check=True)
+        corpus = PackedCorpus.load(big_dir)
+        cfg = dataclasses.replace(cfg, support_size=20, query_size=5,
+                                  batch_size=4, max_len=corpus.max_len,
                                   remat=True)
         dt = time_step(dataclasses.replace(cfg, prefix_flash=True),
                        corpus, args.iters)
-        print(f"big-shape fused: {dt*1e3:.2f} ms/step "
+        print(f"big-shape fused (K=20, L={corpus.max_len}, P="
+              f"{20*corpus.max_len}): {dt*1e3:.2f} ms/step "
               f"({cfg.batch_size/dt:.1f} eps/s)", flush=True)
         return
 
