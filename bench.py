@@ -12,7 +12,8 @@ reference's canonical 5-shot shape (K=Q=5, embed 256, hidden 512, 2 layers —
 BASELINE.json:2,7) on the tight-packed L=96 bench corpus (see BENCH_CORPUS
 note below).  Batch size 32 episodes/step on one chip.
 
-Env knobs: BENCH_CELL=scan|pallas (default pallas), BENCH_STEPS, BENCH_BATCH.
+Env knobs: BENCH_CELL=scan|pallas (default pallas), BENCH_STEPS, BENCH_BATCH,
+BENCH_SPC (steps_per_call chunking, default 10; 1 = per-step dispatch).
 """
 
 from __future__ import annotations
@@ -58,29 +59,38 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     support_mode = os.environ.get("BENCH_SUPPORT", "mean_state")
 
+    spc = int(os.environ.get("BENCH_SPC", "10"))
+
     corpus = ensure_corpus()
     cfg = Config(vocab_size=5000, max_len=corpus.max_len, embed_dim=256,
                  hidden_dim=512,
                  num_layers=2, batch_size=batch, support_size=5,
                  query_size=5, cell=cell, support_mode=support_mode,
                  compute_dtype="bfloat16" if cell == "pallas" else "float32",
-                 data_parallel=True)
+                 data_parallel=True, steps_per_call=spc,
+                 log_interval=spc, eval_interval=0, checkpoint_interval=0,
+                 max_steps=max(steps, spc))
     data = eps.put_corpus(corpus)
     split = jax.numpy.asarray(corpus.splits["train"])
     state = training.init_train_state(cfg, len(corpus.vocab))
-    step = training.make_train_step(cfg, data, split)
+    # The REAL train step, dispatched in steps_per_call chunks exactly as
+    # the train CLI does (training.make_multi_step): same trajectory, one
+    # host round trip per chunk.
+    step = training.make_multi_step(
+        training.make_train_step(cfg, data, split), spc)
+    n_calls = max(1, steps // spc)
 
     # warmup: compile + settle
-    for _ in range(5):
+    for _ in range(2):
         state, metrics = step(state)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(n_calls):
         state, metrics = step(state)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    eps_per_sec = steps * cfg.batch_size / dt
+    eps_per_sec = n_calls * spc * cfg.batch_size / dt
 
     ref_path = REPO / "benchmarks" / "cpu_reference.json"
     vs = None

@@ -138,16 +138,23 @@ def train_main(argv=None) -> None:
     # `step` is tracked on the HOST: reading state.step each iteration would
     # block on the just-dispatched device step and serialize host dispatch
     # with device compute (advisor finding r1).
-    for step in range(start_step + 1, cfg.max_steps + 1):
+    # steps_per_call > 1 fuses that many steps into ONE dispatched program
+    # (lax.scan; training.make_multi_step) — config validation guarantees
+    # every log/eval/checkpoint boundary falls on a chunk edge.  Host
+    # pipeline and profiling keep per-step dispatch (the pipe feeds one
+    # episode per call; the profiler brackets step indices).
+    spc = 1 if (host_mode or args.profile_dir) else cfg.steps_per_call
+    chunked = training.make_multi_step(train_step, spc)
+    for step in range(start_step + spc, cfg.max_steps + 1, spc):
         if args.profile_dir and step == 10:
             jax.profiler.start_trace(args.profile_dir)
         state, metrics = (train_step(state, next(pipe)) if pipe is not None
-                          else train_step(state))
+                          else chunked(state))
         if args.profile_dir and step == 20:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
             print(f"profile trace written to {args.profile_dir}", flush=True)
-        tput.add(cfg.batch_size)
+        tput.add(cfg.batch_size * spc)
         if step % cfg.log_interval == 0 or step == cfg.max_steps:
             jax.block_until_ready(metrics["loss"])
             logger.log(step, loss=metrics["loss"],

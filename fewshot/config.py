@@ -69,6 +69,8 @@ class Config:
     eval_episodes: int = 64
     checkpoint_interval: int = 500
     log_interval: int = 20
+    steps_per_call: int = 1          # train steps fused into one dispatch
+                                     # (lax.scan chunk; device pipeline only)
     seed: int = 0
     data_parallel: bool = True       # shard episodes over jax.devices()
     pipeline: str = "device"         # device (HBM-resident gather) | host
@@ -111,6 +113,16 @@ class Config:
                 "config: num_heads must divide embed_dim evenly")
         if self.task == "episodic" and self.query_size < 1:
             raise ValueError("config: episodic task needs query_size >= 1")
+        if self.steps_per_call > 1:
+            # chunked dispatch can only log/eval/checkpoint on chunk
+            # boundaries — intervals must align
+            for f in ("log_interval", "eval_interval",
+                      "checkpoint_interval", "max_steps"):
+                v = getattr(self, f)
+                if v and v % self.steps_per_call:
+                    raise ValueError(
+                        f"config: {f} ({v}) must be a multiple of "
+                        f"steps_per_call ({self.steps_per_call})")
 
 
 _FIELDS = {f.name for f in dataclasses.fields(Config)}

@@ -84,8 +84,22 @@ def head_logits(params: dict, hidden: jax.Array, cfg) -> jax.Array:
     return logits + params["out_b"]
 
 
+# Below this vocab size, embedding lookup runs as a one-hot MXU matmul
+# instead of gather/scatter.  Profiled on-chip (2026-08-17 trace of the
+# bench step, V=104): the backward's scatter-add cost 317us/step and the
+# CE token gather 148us — both serialize on TPU — while the equivalent
+# one-hot matmuls are ~10us on the MXU.  Past ~1k vocab the one-hot
+# FLOPs (B*T*V*E) overtake the flat scatter cost, so large-vocab corpora
+# keep the gather path.
+ONEHOT_VOCAB_MAX = 1024
+
+
 def embed(params: dict, tokens: jax.Array) -> jax.Array:
-    return params["embed"][tokens]
+    table = params["embed"]
+    if table.shape[0] <= ONEHOT_VOCAB_MAX:
+        hot = jax.nn.one_hot(tokens, table.shape[0], dtype=table.dtype)
+        return jnp.dot(hot, table, preferred_element_type=jnp.float32)
+    return table[tokens]
 
 
 def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
@@ -131,7 +145,15 @@ def token_nll(logits: jax.Array, targets: jax.Array,
     """(sum CE over masked positions, count).  fp32 log-softmax."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    v = logits.shape[-1]
+    if v <= ONEHOT_VOCAB_MAX:
+        # one-hot multiply-reduce instead of take_along_axis: the gather
+        # (and its scatter-add transpose) serialize on TPU (see
+        # ONEHOT_VOCAB_MAX); this is one VPU multiply-sum.
+        hot = jax.nn.one_hot(targets, v, dtype=logp.dtype)
+        ce = -jnp.sum(logp * hot, axis=-1)
+    else:
+        ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     mask = mask.astype(jnp.float32)
     return jnp.sum(ce * mask), jnp.sum(mask)
 

@@ -17,6 +17,7 @@ priming correct on ragged songs.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -129,6 +130,14 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
     if state is None:
         state = zero_state(b_, hidden, len(params))
     if cell == "pallas":
+        from fewshot.ops import lstm_fused
+        if (not os.environ.get("FEWSHOT_NO_FUSED_STACK")
+                and lstm_fused.stack_fused_supported(params, compute_dtype,
+                                                     batch_rows=b_)):
+            # Whole-stack fused kernel: all layers advance inside one grid
+            # step (half the sequential steps at L=2, no inter-layer HBM).
+            return lstm_fused.lstm_stack_fused(params, x, mask, state,
+                                               compute_dtype)
         from fewshot.ops.lstm_pallas import lstm_layer_pallas
         layer_fn = lstm_layer_pallas
     else:

@@ -77,11 +77,43 @@ def _cell_math(z, c, hidden):
     return new_h, new_c
 
 
+def _tiles(b: int, t: int, hidden: int, itemsize: int,
+           streams_h: int = 10) -> tuple[int, int]:
+    """(batch_tile, time_chunk): one program handles a [u, bt, ...] brick.
+
+    Per-program overhead (Mosaic loop bookkeeping + DMA orchestration) is
+    a real cost at song-scale T, so after maximizing the batch tile (MXU
+    rows come first) the picker widens the TIME axis: u consecutive steps
+    per program, largest divisor of T in 1..8 (u | T keeps every block
+    exact — no padding, no masked tails; song-scale T is 95/96/104/192/
+    255/256 in practice, all with a divisor in 4..8).  The u-scaled
+    double-buffered streams (`streams_h` H-widths per row-step), the f32
+    scratch/temporaries and the resident Wh share Mosaic's ~16MB scoped
+    VMEM.  FEWSHOT_LSTM_TILES="bt,u" overrides for experiments."""
+    override = os.environ.get("FEWSHOT_LSTM_TILES")
+    if override:
+        bt, u = (int(x) for x in override.split(","))
+        return bt, u
+    budget = 15 * 2 ** 20 - 4 * hidden * hidden * itemsize      # minus Wh
+    bt = _batch_tile(b, hidden, itemsize)
+
+    def fits(u):
+        per_row = hidden * (streams_h * 2 * itemsize * u + 6 * 4 + 8 * 4)
+        return bt * per_row <= budget
+    u = 1
+    for cand in range(min(8, t), 0, -1):
+        if t % cand == 0 and fits(cand):
+            u = cand
+            break
+    return bt, u
+
+
 def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
                 ys_ref, cs_ref, hT_ref, cT_ref, h_sc, c_sc,
                 gates_ref=None):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
+    u = zx_ref.shape[0]
 
     @pl.when(t == 0)
     def _():
@@ -90,31 +122,34 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
 
     h, c = h_sc[:], c_sc[:]
     hidden = h.shape[-1]
-    # streams may be bf16 (see _fwd_call); state and gate math stay f32
-    z = zx_ref[0].astype(jnp.float32) + \
-        jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
-                preferred_element_type=jnp.float32) + b_ref[:]
-    si = jax.nn.sigmoid(z[:, :hidden])
-    tj = jnp.tanh(z[:, hidden:2 * hidden])
-    sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
-    so = jax.nn.sigmoid(z[:, 3 * hidden:])
-    new_c = sf * c + si * tj
-    new_h = so * jnp.tanh(new_c)
-    if gates_ref is not None:
-        # train mode: save gate ACTIVATIONS so the backward kernel skips
-        # the z-recompute matmul (its serial MXU work halves)
-        gates_ref[0] = jnp.concatenate([si, tj, sf, so],
-                                       axis=-1).astype(gates_ref.dtype)
-    m = mask_ref[0]
-    h_sc[:] = jnp.where(m > 0, new_h, h)
-    c_sc[:] = jnp.where(m > 0, new_c, c)
-    ys_ref[0] = h_sc[:].astype(ys_ref.dtype)
-    cs_ref[0] = c_sc[:].astype(cs_ref.dtype)
+    for i in range(u):
+        # streams may be bf16 (see _fwd_call); state/gate math stay f32
+        z = zx_ref[i].astype(jnp.float32) + \
+            jnp.dot(h.astype(wh_ref.dtype), wh_ref[:],
+                    preferred_element_type=jnp.float32) + b_ref[:]
+        si = jax.nn.sigmoid(z[:, :hidden])
+        tj = jnp.tanh(z[:, hidden:2 * hidden])
+        sf = jax.nn.sigmoid(z[:, 2 * hidden:3 * hidden] + FORGET_BIAS)
+        so = jax.nn.sigmoid(z[:, 3 * hidden:])
+        new_c = sf * c + si * tj
+        new_h = so * jnp.tanh(new_c)
+        if gates_ref is not None:
+            # train mode: save gate ACTIVATIONS so the backward kernel
+            # skips the z-recompute matmul (its serial MXU work halves)
+            gates_ref[i] = jnp.concatenate([si, tj, sf, so],
+                                           axis=-1).astype(gates_ref.dtype)
+        m = mask_ref[i]
+        h = jnp.where(m > 0, new_h, h)
+        c = jnp.where(m > 0, new_c, c)
+        ys_ref[i] = h.astype(ys_ref.dtype)
+        cs_ref[i] = c.astype(cs_ref.dtype)
+    h_sc[:] = h
+    c_sc[:] = c
 
     @pl.when(t == n_t - 1)
     def _():
-        hT_ref[:] = h_sc[:]
-        cT_ref[:] = c_sc[:]
+        hT_ref[:] = h
+        cT_ref[:] = c
 
 
 def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
@@ -122,14 +157,14 @@ def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
     hidden = four_h // 4
     f32 = jnp.float32
     st = zx.dtype                 # stream dtype: bf16 halves HBM traffic
-    bt = _batch_tile(b_, hidden, jnp.dtype(st).itemsize)
+    bt, u = _tiles(b_, t_, hidden, jnp.dtype(st).itemsize)
     kw = dict(memory_space=pltpu.VMEM)
     step3 = lambda bi, t: (t, bi, 0)     # noqa: E731
     tile2 = lambda bi, t: (bi, 0)        # noqa: E731
     const2 = lambda bi, t: (0, 0)        # noqa: E731
     out_specs = [
-        pl.BlockSpec((1, bt, hidden), step3, **kw),    # ys
-        pl.BlockSpec((1, bt, hidden), step3, **kw),    # cs
+        pl.BlockSpec((u, bt, hidden), step3, **kw),    # ys
+        pl.BlockSpec((u, bt, hidden), step3, **kw),    # cs
         pl.BlockSpec((bt, hidden), tile2, **kw),       # hT
         pl.BlockSpec((bt, hidden), tile2, **kw),       # cT
     ]
@@ -141,7 +176,7 @@ def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
     ]
     kernel = _fwd_kernel
     if save_gates:
-        out_specs.append(pl.BlockSpec((1, bt, four_h), step3, **kw))
+        out_specs.append(pl.BlockSpec((u, bt, four_h), step3, **kw))
         out_shape.append(jax.ShapeDtypeStruct((t_, b_, four_h), st))
 
         def kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,  # noqa
@@ -152,12 +187,12 @@ def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
                         gates_ref=gates_ref)
     out = pl.pallas_call(
         kernel,
-        grid=(b_ // bt, t_),
+        grid=(b_ // bt, t_ // u),
         in_specs=[
-            pl.BlockSpec((1, bt, four_h), step3, **kw),    # zx
+            pl.BlockSpec((u, bt, four_h), step3, **kw),    # zx
             pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
             pl.BlockSpec((1, four_h), const2, **kw),       # b
-            pl.BlockSpec((1, bt, 1), step3, **kw),         # mask
+            pl.BlockSpec((u, bt, 1), step3, **kw),         # mask
             pl.BlockSpec((bt, hidden), tile2, **kw),       # h0
             pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
         ],
@@ -182,7 +217,8 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
                 c0_ref, dys_ref, dhT_ref, dcT_ref,
                 dzx_ref, dh0_ref, dc0_ref, db_ref,
                 dh_sc, dc_sc):
-    """Reverse-time step: program (bi, p) handles t = T-1-p for tile bi.
+    """Reverse-time brick: program (bi, p) handles time chunk C-1-p for
+    tile bi, stepping its u timesteps in reverse in-register.
 
     The kernel produces dzx, the initial-state grads, and a per-tile db
     (the [1, 4H] row-sum accumulates in a VMEM-resident output block —
@@ -193,13 +229,15 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
 
     Gate ACTIVATIONS arrive saved from the forward (gates_ref), so the
     only matmul in the serial loop is dz @ Wh^T — the z-recompute matmul
-    the round-1 kernel paid per step is gone.  c_prev streams the forward
-    cs through a shifted index_map (block t-1 for step t, clamped at 0;
-    the t=0 program selects c0 instead), and tanh(new_c) is rebuilt from
-    cs[t] — valid because masked steps force dz to 0 anyway."""
+    the round-1 kernel paid per step is gone.  c_prev within a chunk is
+    cs[i-1] already in VMEM; across chunks it streams the PREVIOUS chunk
+    through a shifted index_map (clamped at 0; the global t=0 step
+    selects c0 instead), and tanh(new_c) is rebuilt from cs[t] — valid
+    because masked steps force dz to 0 anyway."""
     p = pl.program_id(1)
-    n_t = pl.num_programs(1)
+    n_p = pl.num_programs(1)
     hidden = dh_sc.shape[-1]
+    u = gates_ref.shape[0]
 
     @pl.when(p == 0)
     def _():
@@ -207,50 +245,59 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
         dc_sc[:] = dcT_ref[:]
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    is_t0 = p == n_t - 1    # reverse grid: the LAST program handles t = 0
-    c_prev = jnp.where(is_t0, c0_ref[:], cprev_ref[0].astype(jnp.float32))
+    first_chunk = p == n_p - 1   # reverse grid: last program = chunk 0
+    dh_c = dh_sc[:]
+    dc_c = dc_sc[:]
+    db_acc = None
+    for i in reversed(range(u)):
+        if i > 0:
+            c_prev = cs_ref[i - 1].astype(jnp.float32)
+        else:
+            c_prev = jnp.where(first_chunk, c0_ref[:],
+                               cprev_ref[u - 1].astype(jnp.float32))
 
-    g = gates_ref[0].astype(jnp.float32)
-    si = g[:, :hidden]
-    tj = g[:, hidden:2 * hidden]
-    sf = g[:, 2 * hidden:3 * hidden]
-    so = g[:, 3 * hidden:]
-    tc = jnp.tanh(cs_ref[0].astype(jnp.float32))
+        g = gates_ref[i].astype(jnp.float32)
+        si = g[:, :hidden]
+        tj = g[:, hidden:2 * hidden]
+        sf = g[:, 2 * hidden:3 * hidden]
+        so = g[:, 3 * hidden:]
+        tc = jnp.tanh(cs_ref[i].astype(jnp.float32))
 
-    dh = dys_ref[0].astype(jnp.float32) + dh_sc[:]
-    dc = dc_sc[:]
-    mf = (mask_ref[0] > 0).astype(jnp.float32)
-    d_new_h = mf * dh
-    d_new_c = d_new_h * so * (1.0 - tc * tc) + mf * dc
+        dh = dys_ref[i].astype(jnp.float32) + dh_c
+        dc = dc_c
+        mf = (mask_ref[i] > 0).astype(jnp.float32)
+        d_new_h = mf * dh
+        d_new_c = d_new_h * so * (1.0 - tc * tc) + mf * dc
 
-    di = d_new_c * tj * si * (1.0 - si)
-    dj = d_new_c * si * (1.0 - tj * tj)
-    df = d_new_c * c_prev * sf * (1.0 - sf)
-    do = d_new_h * tc * so * (1.0 - so)
-    dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
+        di = d_new_c * tj * si * (1.0 - si)
+        dj = d_new_c * si * (1.0 - tj * tj)
+        df = d_new_c * c_prev * sf * (1.0 - sf)
+        do = d_new_h * tc * so * (1.0 - so)
+        dz = jnp.concatenate([di, dj, df, do], axis=-1)   # [Bt, 4H]
 
-    dzx_ref[0] = dz.astype(dzx_ref.dtype)
+        dzx_ref[i] = dz.astype(dzx_ref.dtype)
+        db_acc = dz if db_acc is None else db_acc + dz
+
+        dh_c = jax.lax.dot_general(
+            dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + (1.0 - mf) * dh
+        dc_c = d_new_c * sf + (1.0 - mf) * dc
+    dh_sc[:] = dh_c
+    dc_sc[:] = dc_c
     # db partial sums: keep 8 sublane rows live (min f32 tile); rows are
     # summed outside.  bt % 8 == 0 in practice (_batch_tile prefers it).
-    bt, four_h = dz.shape
+    bt, four_h = db_acc.shape
     if bt % 8 == 0:
         db_ref[0] = db_ref[0] + jnp.sum(
-            dz.reshape(bt // 8, 8, four_h), axis=0)
+            db_acc.reshape(bt // 8, 8, four_h), axis=0)
     else:
-        db_ref[0, 0:1] = db_ref[0, 0:1] + jnp.sum(dz, axis=0,
+        db_ref[0, 0:1] = db_ref[0, 0:1] + jnp.sum(db_acc, axis=0,
                                                   keepdims=True)
 
-    dh_prev = jax.lax.dot_general(
-        dz.astype(wh_ref.dtype), wh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) + (1.0 - mf) * dh
-    dc_prev = d_new_c * sf + (1.0 - mf) * dc
-    dh_sc[:] = dh_prev
-    dc_sc[:] = dc_prev
-
-    @pl.when(p == n_t - 1)
+    @pl.when(p == n_p - 1)
     def _():
-        dh0_ref[:] = dh_sc[:]
-        dc0_ref[:] = dc_sc[:]
+        dh0_ref[:] = dh_c
+        dc0_ref[:] = dc_c
 
 
 def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
@@ -258,30 +305,31 @@ def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
     hidden = four_h // 4
     f32 = jnp.float32
     st = gates.dtype
-    bt = _batch_tile(b_, hidden, jnp.dtype(st).itemsize)
+    bt, u = _tiles(b_, t_, hidden, jnp.dtype(st).itemsize)
+    n_c = t_ // u
     kw = dict(memory_space=pltpu.VMEM)
-    rev3 = lambda bi, p: (t_ - 1 - p, bi, 0)   # noqa: E731
-    # c_prev for step t = T-1-p is cs block t-1, clamped at 0
-    # (the p = T-1 program ignores the block and reads c0 instead)
-    revm1 = lambda bi, p: (jnp.maximum(t_ - 2 - p, 0), bi, 0)  # noqa: E731
+    rev3 = lambda bi, p: (n_c - 1 - p, bi, 0)   # noqa: E731
+    # cross-chunk c_prev: the PREVIOUS time chunk, clamped at 0 (the
+    # chunk-0 program ignores it for its i=0 step and reads c0 instead)
+    revm1 = lambda bi, p: (jnp.maximum(n_c - 2 - p, 0), bi, 0)  # noqa: E731
     tile2 = lambda bi, p: (bi, 0)              # noqa: E731
     const2 = lambda bi, p: (0, 0)              # noqa: E731
     out = pl.pallas_call(
         _bwd_kernel,
-        grid=(b_ // bt, t_),
+        grid=(b_ // bt, n_c),
         in_specs=[
-            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # gates
+            pl.BlockSpec((u, bt, four_h), rev3, **kw),     # gates
             pl.BlockSpec((hidden, four_h), const2, **kw),  # wh
-            pl.BlockSpec((1, bt, 1), rev3, **kw),          # mask
-            pl.BlockSpec((1, bt, hidden), revm1, **kw),    # cs -> c_prev
-            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # cs -> tanh(c_t)
+            pl.BlockSpec((u, bt, 1), rev3, **kw),          # mask
+            pl.BlockSpec((u, bt, hidden), revm1, **kw),    # cs -> prev chunk
+            pl.BlockSpec((u, bt, hidden), rev3, **kw),     # cs -> this chunk
             pl.BlockSpec((bt, hidden), tile2, **kw),       # c0
-            pl.BlockSpec((1, bt, hidden), rev3, **kw),     # dys
+            pl.BlockSpec((u, bt, hidden), rev3, **kw),     # dys
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dhT
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dcT
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, four_h), rev3, **kw),     # dzx
+            pl.BlockSpec((u, bt, four_h), rev3, **kw),     # dzx
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dh0
             pl.BlockSpec((bt, hidden), tile2, **kw),       # dc0
             pl.BlockSpec((1, 8, four_h), lambda bi, p: (bi, 0, 0),

@@ -102,6 +102,114 @@ def micro_bench(b=160, t=255, e=256, h=512, iters=20) -> None:
               flush=True)
 
 
+def stack_parity(shapes) -> bool:
+    """On-chip parity: fused multi-layer kernel vs the scan stack."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.models import lstm as L
+    from fewshot.ops.lstm_fused import lstm_stack_fused
+
+    ok = True
+    for (b, t, e, h, n_layers) in shapes:
+        params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, n_layers)
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+        lens = jnp.asarray(np.random.RandomState(0).randint(1, t + 1, b))
+        mask = jnp.arange(t) < lens[:, None]
+        state = [(jax.random.normal(jax.random.PRNGKey(10 + i),
+                                    (b, h)) * 0.3,
+                  jax.random.normal(jax.random.PRNGKey(20 + i),
+                                    (b, h)) * 0.3)
+                 for i in range(n_layers)]
+
+        ys_r, st_r = L.lstm_forward(params, x, mask=mask, state=state,
+                                    compute_dtype=jnp.float32, cell="scan")
+        ys_p, st_p = lstm_stack_fused(params, x, mask, state, jnp.float32)
+        fwd_err = float(jnp.abs(ys_p - ys_r).max())
+        st_err = max(float(jnp.abs(a - b2).max())
+                     for (a, c1), (b2, c2) in zip(st_p, st_r))
+
+        def loss(fn, p):
+            ys, out = fn(p)
+            s = jnp.sum(ys ** 2)
+            for hh, cc in out:
+                s = s + jnp.sum(hh * cc)
+            return s
+
+        gr = jax.grad(lambda p: loss(
+            lambda pp: L.lstm_forward(pp, x, mask=mask, state=state,
+                                      compute_dtype=jnp.float32,
+                                      cell="scan"), p))(params)
+        gp = jax.grad(lambda p: loss(
+            lambda pp: lstm_stack_fused(pp, x, mask, state,
+                                        jnp.float32), p))(params)
+        rel = 0.0
+        for lr_, lp_ in zip(gr, gp):
+            for k in lr_:
+                scale = float(np.abs(np.asarray(lr_[k])).max()) + 1e-12
+                rel = max(rel, float(jnp.abs(lp_[k] - lr_[k]).max()) / scale)
+        # fwd tolerance 1e-3: unlike the single-layer kernel (whose zx is
+        # the same bulk matmul in both paths), layer>=1 input projections
+        # are per-step matmuls in-kernel vs one bulk matmul in the scan —
+        # different accumulation order under TPU default matmul precision.
+        # Exact parity is pinned on CPU (tests/test_pallas.py interpret).
+        good = fwd_err < 1e-3 and st_err < 1e-3 and rel < 1e-3
+        ok &= good
+        print(f"fused-stack B={b} T={t} H={h} L={n_layers}: "
+              f"fwd_err={fwd_err:.2e} state_err={st_err:.2e} "
+              f"grad_rel={rel:.2e} {'OK' if good else 'FAIL'}", flush=True)
+    return ok
+
+
+def stack_bench(b=160, t=96, e=256, h=512, n_layers=2, iters=20) -> None:
+    """2-layer fwd+bwd: per-layer pallas kernels vs the fused stack."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.models import lstm as L
+    from fewshot.ops.lstm_fused import lstm_stack_fused
+    from fewshot.ops.lstm_pallas import lstm_layer_pallas
+
+    params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, n_layers)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+    mask = jnp.ones((b, t), bool)
+    state = L.zero_state(b, h, n_layers)
+
+    def per_layer(p, dt):
+        ys = x
+        out = []
+        for layer, h0c0 in zip(p, state):
+            ys, hc = lstm_layer_pallas(layer, ys, mask, h0c0, dt)
+            out.append(hc)
+        return ys, out
+
+    def fused(p, dt):
+        return lstm_stack_fused(p, x, mask, state, dt)
+
+    for name, fn, dt in [("per-layer/bf16", per_layer, jnp.bfloat16),
+                         ("fused-stack/bf16", fused, jnp.bfloat16),
+                         ("per-layer/f32", per_layer, jnp.float32),
+                         ("fused-stack/f32", fused, jnp.float32)]:
+        @jax.jit
+        def step(p, fn=fn, dt=dt):
+            def loss(pp):
+                ys, out = fn(pp, dt)
+                s = jnp.sum(ys ** 2)
+                for hh, cc in out:
+                    s = s + jnp.sum(hh * cc)
+                return s
+            return jax.grad(loss)(p)
+        g = step(params)
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            g = step(params)
+        jax.block_until_ready(g)
+        dt_s = (time.perf_counter() - t0) / iters
+        flops = 2 * b * t * h * 4 * h * 3 * n_layers
+        print(f"stack {name} (B={b},T={t},H={h},L={n_layers}): "
+              f"{dt_s*1e3:.2f} ms/step "
+              f"(~{flops/dt_s/1e12:.2f} TFLOP/s recurrence)", flush=True)
+
+
 def prefix_attention_parity(shapes) -> bool:
     """On-chip fwd+grad parity: fused prefix-attention kernel vs einsum."""
     import jax
@@ -187,11 +295,15 @@ def main(argv=None) -> None:
     if not args.bench:
         ok = parity([(4, 12, 16, 128), (24, 9, 16, 128),
                      (160, 32, 256, 512)])
+        ok &= stack_parity([(4, 12, 16, 128, 2), (160, 32, 256, 512, 2),
+                            (8, 9, 16, 128, 3)])
         ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),
                                        (4, 5, 192, 4, 32, 960)])
         if not ok:
             sys.exit(1)
     micro_bench()
+    stack_bench()
+    stack_bench(t=255)
     prefix_attention_bench()
 
 

@@ -37,3 +37,16 @@ def test_config_hashable():
     # Config rides as a jit static argument (sampling.py) — must hash.
     assert hash(Config()) == hash(Config())
     assert Config() == Config()
+
+
+def test_steps_per_call_alignment():
+    from fewshot.config import Config
+    # aligned intervals: fine
+    Config(steps_per_call=4, log_interval=4, eval_interval=8,
+           checkpoint_interval=8, max_steps=16)
+    # misaligned log_interval: rejected
+    with pytest.raises(ValueError, match="steps_per_call"):
+        Config(steps_per_call=4, log_interval=6, max_steps=16)
+    # zero intervals are exempt (disabled features)
+    Config(steps_per_call=4, log_interval=4, eval_interval=0,
+           checkpoint_interval=0, max_steps=8)

@@ -97,6 +97,70 @@ print("OK")
         out.stdout[-2000:] + out.stderr[-2000:]
 
 
+def test_fused_stack_interpret_parity_subprocess():
+    """Fused MULTI-LAYER kernel (fewshot/ops/lstm_fused.py) vs the scan
+    stack: fwd, final states, and grads wrt params/x/initial state, with
+    ragged masks and a nonzero (support-primed) initial state."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.models import lstm as L
+from fewshot.ops.lstm_fused import lstm_stack_fused, stack_fused_supported
+
+rng = np.random.RandomState(0)
+for (b, t, e, h, n_layers) in [(4, 12, 16, 128, 2), (8, 5, 32, 128, 3),
+                               (4, 1, 16, 128, 2)]:
+    params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, n_layers)
+    assert stack_fused_supported(params, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+    lens = jnp.asarray(rng.randint(1, t + 1, b))
+    mask = jnp.arange(t) < lens[:, None]
+    state = [(jax.random.normal(jax.random.PRNGKey(10 + i), (b, h)) * 0.3,
+              jax.random.normal(jax.random.PRNGKey(20 + i), (b, h)) * 0.3)
+             for i in range(n_layers)]
+
+    ys_r, st_r = L.lstm_forward(params, x, mask=mask, state=state,
+                                compute_dtype=jnp.float32, cell="scan")
+    ys_p, st_p = lstm_stack_fused(params, x, mask, state, jnp.float32)
+    assert float(jnp.abs(ys_p - ys_r).max()) < 1e-5
+    for (hr, cr), (hp, cp) in zip(st_r, st_p):
+        assert float(jnp.abs(hp - hr).max()) < 1e-5
+        assert float(jnp.abs(cp - cr).max()) < 1e-5
+
+    def loss(fn, p, xx, st):
+        ys, out = fn(p, xx, st)
+        s = jnp.sum(ys ** 2)
+        for hh, cc in out:
+            s = s + jnp.sum(hh * cc)
+        return s
+
+    scan_fn = lambda p, xx, st: L.lstm_forward(
+        p, xx, mask=mask, state=st, compute_dtype=jnp.float32, cell="scan")
+    fused_fn = lambda p, xx, st: lstm_stack_fused(p, xx, mask, st,
+                                                  jnp.float32)
+    g_r = jax.grad(lambda a: loss(scan_fn, *a))((params, x, state))
+    g_p = jax.grad(lambda a: loss(fused_fn, *a))((params, x, state))
+    flat_r, _ = jax.tree.flatten(g_r)
+    flat_p, _ = jax.tree.flatten(g_p)
+    for rr, pp in zip(flat_r, flat_p):
+        scale = float(jnp.abs(rr).max()) + 1e-12
+        assert float(jnp.abs(pp - rr).max()) / scale < 1e-4
+print("OK")
+"""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
 def test_prefix_attention_interpret_parity_subprocess():
     """Fused episodic prefix-attention kernel (fwd + all 5 input grads) vs
     the einsum reference, in Pallas interpret mode (any backend)."""

@@ -97,3 +97,25 @@ def test_transformer_episodic_train(tiny_corpus, device_data):
         state, m = step(state)
         first = first if first is not None else float(m["loss"])
     assert float(m["loss"]) < first
+
+
+def test_multi_step_matches_single_steps(tiny_corpus, device_data):
+    """k chunked steps (make_multi_step) follow the SAME trajectory as k
+    individual dispatches: identical params and final loss."""
+    cfg = _cfg(steps_per_call=3, log_interval=3, eval_interval=0,
+               checkpoint_interval=0, max_steps=6)
+    split = jnp.asarray(tiny_corpus.splits["train"])
+
+    s1 = training.init_train_state(cfg, len(tiny_corpus.vocab))
+    step = training.make_train_step(cfg, device_data, split)
+    for _ in range(3):
+        s1, m1 = step(s1)
+
+    s2 = training.init_train_state(cfg, len(tiny_corpus.vocab))
+    multi = training.make_multi_step(step, 3)
+    s2, m2 = multi(s2)
+
+    assert int(s1.step) == int(s2.step) == 3
+    assert jnp.allclose(m1["loss"], m2["loss"], atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        assert jnp.allclose(a, b, atol=1e-6)
