@@ -43,7 +43,10 @@ class Config:
     compute_dtype: str = "float32"   # float32 | bfloat16 (matmul dtype)
     tie_embeddings: bool = True
     # transformer-only
-    num_heads: int = 8
+    num_heads: int = 2               # wide heads: hd=E/nh of 128 fills the
+                                     # MXU contraction lanes (2.1x over
+                                     # nh=8 at E=256, equal NLL — see
+                                     # configs/model/transformer.yaml)
     mlp_ratio: int = 4
     remat: bool = False              # jax.checkpoint each transformer layer
     flash: bool = False              # fused flash attention on TPU (opt-in:

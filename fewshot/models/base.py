@@ -71,7 +71,8 @@ class FewShotModel:
         """NLL/token: of one episode if given, else averaged over a split."""
         if episode is not None:
             total, count = lm_mod.episodic_nll_stats(self.state.params,
-                                                     episode, self.cfg)
+                                                     episode, self.cfg,
+                                                     eval_mode=True)
             return float(total) / max(float(count), 1.0)
         if split not in self._eval_steps:
             self._eval_steps[split] = training.make_eval_step(

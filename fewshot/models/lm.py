@@ -116,12 +116,15 @@ def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
 
 def lm_logits(params: dict, tokens: jax.Array, cfg,
               mask: jax.Array | None = None, state=None,
-              dropout_key: jax.Array | None = None):
+              dropout_key: jax.Array | None = None,
+              eval_mode: bool = False):
     """tokens [B, T] -> (logits [B, T, V], final_state).
 
     For the transformer, `state` must be None (use sampling.py's KV-cache
     decoder for incremental decoding).  `dropout_key` enables train-mode
     dropout on the embeddings and the pre-head hidden states (cfg.dropout).
+    `eval_mode` promises the caller will not differentiate (unlocks the
+    forward-only fused LSTM stack — see models/lstm.py).
     """
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     k_in = k_out = None
@@ -131,7 +134,7 @@ def lm_logits(params: dict, tokens: jax.Array, cfg,
     if cfg.model == "lstm":
         hidden, state = lstm_mod.lstm_forward(
             params["lstm"], x, mask=mask, state=state, compute_dtype=dt,
-            cell=cfg.cell)
+            cell=cfg.cell, eval_mode=eval_mode)
     else:
         hidden = tfm_mod.transformer_forward(params["transformer"], x, mask,
                                              cfg)
@@ -178,13 +181,13 @@ def shift_targets(tokens: jax.Array,
 
 
 def lm_nll_stats(params: dict, tokens: jax.Array, lengths: jax.Array,
-                 cfg, dropout_key: jax.Array | None = None
-                 ) -> tuple[jax.Array, jax.Array]:
+                 cfg, dropout_key: jax.Array | None = None,
+                 eval_mode: bool = False) -> tuple[jax.Array, jax.Array]:
     """(sum CE, token count) on a [B, T] batch — exact aggregation across
     eval batches and across chips (psum both, divide once)."""
     inputs, targets, mask = shift_targets(tokens, lengths)
     logits, _ = lm_logits(params, inputs, cfg, mask=mask,
-                          dropout_key=dropout_key)
+                          dropout_key=dropout_key, eval_mode=eval_mode)
     return token_nll(logits, targets, mask)
 
 
@@ -200,7 +203,7 @@ def lm_nll(params: dict, tokens: jax.Array, lengths: jax.Array,
 # ---------------------------------------------------------------------------
 
 def support_state(params: dict, support: jax.Array, support_len: jax.Array,
-                  cfg):
+                  cfg, eval_mode: bool = False):
     """LSTM: derive the priming per-layer (h, c) from the support set.
 
     support_mode="state" (reference semantics): songs are concatenated along
@@ -225,7 +228,8 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
         mask = (jnp.arange(l_) < support_len.reshape(b * k_)[:, None])
         x = embed(params, flat)
         _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
-                                         compute_dtype=dt, cell=cfg.cell)
+                                         compute_dtype=dt, cell=cfg.cell,
+                                         eval_mode=eval_mode)
         if cfg.support_mode == "mean_state":
             return [(h.reshape(b, k_, -1).mean(axis=1),
                      c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
@@ -242,7 +246,8 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
     mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
     x = embed(params, flat)
     _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
-                                     compute_dtype=dt, cell=cfg.cell)
+                                     compute_dtype=dt, cell=cfg.cell,
+                                     eval_mode=eval_mode)
     return state
 
 
@@ -297,9 +302,14 @@ def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
 
 
 def episodic_nll_stats(params: dict, ep: Episode, cfg,
-                       dropout_key: jax.Array | None = None
+                       dropout_key: jax.Array | None = None,
+                       eval_mode: bool = False
                        ) -> tuple[jax.Array, jax.Array]:
-    """(sum CE over query tokens, query token count) for a meta-batch."""
+    """(sum CE over query tokens, query token count) for a meta-batch.
+
+    eval_mode: caller will not differentiate (see models/lstm.py).  NOT
+    forwarded to the finetune variant — its inner SGD differentiates the
+    support loss even under an undifferentiated outer eval."""
     if cfg.support_mode == "finetune":
         return finetune_episodic_nll_stats(params, ep, cfg, dropout_key)
     b, q_, l_ = ep.query.shape
@@ -310,12 +320,14 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     if cfg.model == "lstm":
         state = None
         if cfg.support_mode in ("state", "mean_state", "attn_state"):
-            state = support_state(params, ep.support, ep.support_len, cfg)
+            state = support_state(params, ep.support, ep.support_len, cfg,
+                                  eval_mode=eval_mode)
             # Broadcast each episode's state over its Q query songs.
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
                      for h, c in state]
         logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
-                              state=state, dropout_key=dropout_key)
+                              state=state, dropout_key=dropout_key,
+                              eval_mode=eval_mode)
     else:
         if cfg.support_mode in ("state", "mean_state", "attn_state"):
             k_in = k_out = None

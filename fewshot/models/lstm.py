@@ -118,11 +118,15 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
                  mask: jax.Array | None = None,
                  state: list[tuple[jax.Array, jax.Array]] | None = None,
                  compute_dtype: Any = jnp.float32,
-                 cell: str = "scan"):
+                 cell: str = "scan", eval_mode: bool = False):
     """Multi-layer LSTM over embeddings x [B, T, E].
 
     mask: [B, T] bool; False steps (padding) leave (h, c) unchanged.
     state: per-layer (h, c) initial carries (support-primed episodes).
+    eval_mode: caller promises NOT to differentiate this call — the fused
+    multi-layer kernel then qualifies at forward-only VMEM widths (no
+    saved-gates stream), which covers the flagship H=512/L=2 shape that
+    the train-mode footprint excludes.
     Returns (top-layer outputs [B, T, H], final per-layer state).
     """
     b_ = x.shape[0]
@@ -133,7 +137,8 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
         from fewshot.ops import lstm_fused
         if (not os.environ.get("FEWSHOT_NO_FUSED_STACK")
                 and lstm_fused.stack_fused_supported(params, compute_dtype,
-                                                     batch_rows=b_)):
+                                                     batch_rows=b_,
+                                                     eval_mode=eval_mode)):
             # Whole-stack fused kernel: all layers advance inside one grid
             # step (half the sequential steps at L=2, no inter-layer HBM).
             return lstm_fused.lstm_stack_fused(params, x, mask, state,

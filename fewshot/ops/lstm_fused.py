@@ -408,8 +408,8 @@ def lstm_stack_fused(params, x, mask, state, compute_dtype):
     return ys, [(hT[i], cT[i]) for i in range(len(params))]
 
 
-def stack_fused_supported(params, compute_dtype, batch_rows: int = 0
-                          ) -> bool:
+def stack_fused_supported(params, compute_dtype, batch_rows: int = 0,
+                          eval_mode: bool = False) -> bool:
     """Static eligibility check for the fused multi-layer path.
 
     Besides the shape/VMEM-weight constraints, when `batch_rows` is given
@@ -417,7 +417,9 @@ def stack_fused_supported(params, compute_dtype, batch_rows: int = 0
     kernel in BOTH passes: the fused win is halved sequential grid steps,
     and a VMEM-forced tile split (e.g. H=512 L=2 bf16: 80 vs 160 rows)
     restores the old step count at worse MXU row utilization — measured
-    net-slower on-chip (scripts/tpu_checks.py stack_bench, 2026-08-16)."""
+    net-slower on-chip (scripts/tpu_checks.py stack_bench, 2026-08-16).
+    With eval_mode (caller will not differentiate) only the forward-only
+    footprint counts — no gates stream — which admits H=512/L=2."""
     if len(params) < 2:
         return False
     hidden = params[0]["wh"].shape[0]
@@ -434,6 +436,10 @@ def stack_fused_supported(params, compute_dtype, batch_rows: int = 0
     if batch_rows:
         from fewshot.ops.lstm_pallas import _batch_tile
         per_layer = _batch_tile(batch_rows, hidden, itemsize)
+        if eval_mode:
+            fw = _stream_widths(n, False)[0]
+            return (_fused_batch_tile(batch_rows, hidden, n, itemsize, fw)
+                    >= per_layer)
         fw, bw = _stream_widths(n, True)
         if (_fused_batch_tile(batch_rows, hidden, n, itemsize, fw)
                 < per_layer

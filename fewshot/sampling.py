@@ -120,7 +120,8 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     # unrelated requests into one call).
     keys = key if key.ndim == 2 else jax.random.split(key, b)
     if cfg.support_mode in ("state", "mean_state", "attn_state"):
-        state = lm_mod.support_state(params, support, support_len, cfg)
+        state = lm_mod.support_state(params, support, support_len, cfg,
+                                     eval_mode=True)
     else:
         state = lstm_mod.zero_state(b, cfg.hidden_dim, cfg.num_layers)
 

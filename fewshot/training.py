@@ -61,16 +61,22 @@ def init_train_state(cfg, vocab_size: int, seed: int | None = None
 
 def _loss_stats(params, cfg, data: CorpusOnDevice, split_artists, key,
                 batch_size: int, train: bool = False):
-    """Sample a batch/episodes on device and return (ce_sum, token_count)."""
+    """Sample a batch/episodes on device and return (ce_sum, token_count).
+
+    train=False also flags eval_mode downstream: eval steps are never
+    differentiated, which lets the LSTM use the forward-only fused stack
+    kernel (models/lstm.py)."""
     k_sample, k_drop = jax.random.split(key)
     dropout_key = k_drop if (train and cfg.dropout > 0) else None
     if cfg.task == "episodic":
         ep = sample_episode(k_sample, data, split_artists, batch_size,
                             k=cfg.support_size, q=cfg.query_size)
-        return lm_mod.episodic_nll_stats(params, ep, cfg, dropout_key)
+        return lm_mod.episodic_nll_stats(params, ep, cfg, dropout_key,
+                                         eval_mode=not train)
     tokens, lengths = sample_lm_batch(k_sample, data, split_artists,
                                       batch_size)
-    return lm_mod.lm_nll_stats(params, tokens, lengths, cfg, dropout_key)
+    return lm_mod.lm_nll_stats(params, tokens, lengths, cfg, dropout_key,
+                               eval_mode=not train)
 
 
 def _make_apply(cfg, opt):
@@ -220,7 +226,7 @@ def make_fed_eval_step(cfg):
     """Jitted eval on a fed episode: (params, episode) -> (ce_sum, count)."""
     @jax.jit
     def eval_step(params, ep):
-        return lm_mod.episodic_nll_stats(params, ep, cfg)
+        return lm_mod.episodic_nll_stats(params, ep, cfg, eval_mode=True)
     return eval_step
 
 
