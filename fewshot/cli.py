@@ -229,14 +229,14 @@ def evaluate_main(argv=None) -> None:
             sys.exit(f"eval set was built for K={k} Q={q}, config has "
                      f"K={cfg.support_size} Q={cfg.query_size}")
         step = training.make_fed_eval_step(cfg)
-        total = count = 0.0
         b = cfg.batch_size
-        for lo in range(0, len(ids), b):
-            ep = eps.gather_episode(data, jnp.asarray(ids[lo:lo + b]),
-                                    jnp.asarray(arts[lo:lo + b]), k, q)
-            t, c = step(state.params, ep)
-            total += float(t)
-            count += float(c)
+        # dispatch all batches, one readback (see training.evaluate)
+        stats = [step(state.params,
+                      eps.gather_episode(data, jnp.asarray(ids[lo:lo + b]),
+                                         jnp.asarray(arts[lo:lo + b]), k, q))
+                 for lo in range(0, len(ids), b)]
+        total = float(sum(t for t, _ in stats))
+        count = float(sum(c for _, c in stats))
         nll = total / max(count, 1.0)
         print(f"eval_set_nll_per_token={nll:.6f} "
               f"({len(ids)} fixed episodes from {args.eval_set})",
@@ -266,13 +266,13 @@ def evaluate_main(argv=None) -> None:
         n_batches = max(1, n // cfg.batch_size)
         for a in np.asarray(split):
             one = jnp.asarray([int(a)], jnp.int32)
-            total = count = 0.0
-            for i in range(n_batches):
-                t, c = one_eval(state.params,
-                                jax.random.fold_in(
-                                    jax.random.PRNGKey(cfg.seed), i), one)
-                total += float(t)
-                count += float(c)
+            # dispatch all batches, one readback (see training.evaluate)
+            stats = [one_eval(state.params,
+                              jax.random.fold_in(
+                                  jax.random.PRNGKey(cfg.seed), i), one)
+                     for i in range(n_batches)]
+            total = float(sum(t for t, _ in stats))
+            count = float(sum(c for _, c in stats))
             name = (corpus.artist_names[int(a)] if corpus.artist_names
                     else str(int(a)))
             print(f"  artist {name}: nll={total / max(count, 1.0):.4f}",

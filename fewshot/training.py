@@ -236,12 +236,13 @@ def evaluate_fed(cfg, params, pipe, num_episodes: int | None = None,
     n = num_episodes if num_episodes is not None else cfg.eval_episodes
     step = eval_step if eval_step is not None else make_fed_eval_step(cfg)
     n_batches = max(1, n // pipe.batch)
-    total, count = 0.0, 0.0
-    for _ in range(n_batches):
-        t, c = step(params, next(pipe))
-        total += float(t)
-        count += float(c)
-    return total / max(count, 1.0)
+    # Same deferred-readback pattern as evaluate(): dispatch all batches,
+    # reduce on device, one host sync.
+    stats = [step(params, next(pipe)) for _ in range(n_batches)]
+    total = sum(t for t, _ in stats)
+    count = sum(c for _, c in stats)
+    total, count = jax.device_get((total, count))
+    return float(total) / max(float(count), 1.0)
 
 
 def make_eval_step(cfg, data: CorpusOnDevice, split_artists, mesh=None):
@@ -291,9 +292,14 @@ def evaluate(cfg, params, data: CorpusOnDevice, split_artists, key,
     step = eval_step if eval_step is not None else \
         make_eval_step(cfg, data, split_artists, mesh=mesh)
     n_batches = max(1, n // cfg.batch_size)
-    total, count = 0.0, 0.0
-    for i in range(n_batches):
-        t, c = step(params, jax.random.fold_in(key, i))
-        total += float(t)
-        count += float(c)
-    return total / max(count, 1.0)
+    # Dispatch every batch before reading anything back: a float() per
+    # batch forces a device->host sync per iteration, which through the
+    # remote-device tunnel costs ~10ms a pop and serializes the whole
+    # eval.  All batches are independent; accumulate ON DEVICE and read
+    # one scalar pair at the end.
+    stats = [step(params, jax.random.fold_in(key, i))
+             for i in range(n_batches)]
+    total = sum(t for t, _ in stats)
+    count = sum(c for _, c in stats)
+    total, count = jax.device_get((total, count))
+    return float(total) / max(float(count), 1.0)
