@@ -74,6 +74,26 @@ def head_logits(params: dict, hidden: jax.Array, cfg) -> jax.Array:
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     if cfg.tie_embeddings:
         if "out_proj" in params:
+            table = params["embed"]
+            h, e = params["out_proj"].shape
+            v = table.shape[0]
+            rows = 1
+            for d in hidden.shape[:-1]:
+                rows *= d
+            # For small vocabs, pre-contract the tied head once per call:
+            # rows x (H@E + E@V) beats rows x H@V only while V > H*E/(H-E);
+            # below that, one [H, V] matmul over the (many) rows is ~3x
+            # fewer FLOPs at the bench shapes.  Grads through the [H, E] x
+            # [E, V] product are handled by autodiff.  The rows gate keeps
+            # the per-token decode loop (rows = B) on the two-matmul path,
+            # where the H*E*V precontract would dominate.
+            if h > e and v < (h * e) // (h - e) and rows * (h - e) > h * e:
+                w = jnp.dot(params["out_proj"].astype(dt),
+                            table.T.astype(dt),
+                            preferred_element_type=jnp.float32)   # [H, V]
+                logits = jnp.dot(hidden.astype(dt), w.astype(dt),
+                                 preferred_element_type=jnp.float32)
+                return logits + params["out_b"]
             hidden = jnp.dot(hidden.astype(dt), params["out_proj"].astype(dt),
                              preferred_element_type=jnp.float32)
         logits = jnp.dot(hidden.astype(dt), params["embed"].T.astype(dt),

@@ -285,3 +285,58 @@ def test_attn_state_pooling():
         return t / c
     g = jax.grad(loss)(params)
     assert any(float(jnp.abs(q).max()) > 0 for q in g["support_attn"])
+
+
+def test_onehot_paths_match_gather():
+    """The small-vocab one-hot embed/CE paths must agree exactly with the
+    gather paths they replace (same values, only the lowering differs)."""
+    import fewshot.models.lm as lm
+
+    rng = np.random.RandomState(0)
+    v, e, b, t = 50, 8, 4, 6
+    params = {"embed": jnp.asarray(rng.randn(v, e), jnp.float32)}
+    tokens = jnp.asarray(rng.randint(0, v, (b, t)), jnp.int32)
+
+    got = lm.embed(params, tokens)                 # one-hot path (v <= max)
+    want = params["embed"][tokens]                 # gather reference
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    logits = jnp.asarray(rng.randn(b, t, v), jnp.float32)
+    targets = jnp.asarray(rng.randint(0, v, (b, t)), jnp.int32)
+    mask = jnp.asarray(rng.rand(b, t) > 0.3, jnp.float32)
+    tot, cnt = lm.token_nll(logits, targets, mask)  # one-hot multiply-sum
+    logp = jax.nn.log_softmax(logits, -1)
+    ce = -np.take_along_axis(np.asarray(logp), np.asarray(targets)[..., None],
+                             -1)[..., 0]
+    np.testing.assert_allclose(float(tot), (ce * np.asarray(mask)).sum(),
+                               rtol=1e-6)
+    assert float(cnt) == float(np.asarray(mask).sum())
+
+
+def test_fused_tied_head_matches_two_matmuls():
+    """Small-vocab pre-contracted tied head == sequential out_proj @ embed.T
+    (only matmul association changes), and the decode-row gate keeps tiny
+    batches on the two-matmul path (same values either way)."""
+    import dataclasses
+
+    import fewshot.models.lm as lm
+
+    rng = np.random.RandomState(1)
+    h, e, v = 64, 32, 20
+    cfg = dataclasses.replace(CFG_TFM, hidden_dim=h, embed_dim=e,
+                              vocab_size=v)
+    params = {"embed": jnp.asarray(rng.randn(v, e), jnp.float32),
+              "out_proj": jnp.asarray(rng.randn(h, e), jnp.float32),
+              "out_b": jnp.asarray(rng.randn(v), jnp.float32)}
+
+    def reference(hidden):
+        mid = np.asarray(hidden) @ np.asarray(params["out_proj"])
+        return mid @ np.asarray(params["embed"]).T + np.asarray(
+            params["out_b"])
+
+    big = jnp.asarray(rng.randn(8, 300, h), jnp.float32)   # rows > gate
+    small = jnp.asarray(rng.randn(4, h), jnp.float32)      # decode rows
+    for hidden in (big, small):
+        got = lm.head_logits(params, hidden, cfg)
+        np.testing.assert_allclose(np.asarray(got), reference(hidden),
+                                   rtol=2e-4, atol=2e-4)

@@ -108,7 +108,10 @@ def test_early_exit_identical_and_faster():
                               cfg, early_exit=early_exit).block_until_ready()
         return time.perf_counter() - t0
 
-    t_full, t_ee = timed(False), timed(True)
+    # min-of-2 per mode: absorbs transient machine load (observed flake
+    # when the whole suite runs alongside other work)
+    t_full = min(timed(False), timed(False))
+    t_ee = min(timed(True), timed(True))
     assert t_ee < t_full / 5, (t_ee, t_full)   # 512 steps vs ~2
 
 
