@@ -133,3 +133,28 @@ def test_per_artist_breakdown(workspace, capsys):
     for ln in artist_lines:
         val = float(ln.split("nll=")[1])
         assert 0 < val < 20
+
+
+def test_train_steps_per_call_chunked(workspace, tmp_path, capsys):
+    """The train CLI with steps_per_call > 1 logs/evals/checkpoints on
+    chunk boundaries and resumes correctly (chunked dispatch loop)."""
+    task = tmp_path / "task_spc.yaml"
+    task.write_text(
+        "task: episodic\nbatch_size: 8\nsupport_size: 2\nquery_size: 2\n"
+        "max_steps: 12\nlr: 5.0e-3\neval_interval: 6\neval_episodes: 8\n"
+        "checkpoint_interval: 6\nlog_interval: 6\nsteps_per_call: 3\n"
+        "data_parallel: false\n")
+    ck = str(tmp_path / "ck_spc")
+    args = ["--data", str(workspace / "data.yaml"),
+            "--model", str(workspace / "model.yaml"),
+            "--task", str(task), "--checkpt_dir", ck]
+    train_main(args)
+    out = capsys.readouterr().out
+    assert "step=6 " in out and "step=12 " in out and "val_nll=" in out
+
+    # resume from the chunk-aligned checkpoint
+    task.write_text(task.read_text().replace("max_steps: 12",
+                                             "max_steps: 18"))
+    train_main(args)
+    out = capsys.readouterr().out
+    assert "restored checkpoint at step 12" in out and "step=18 " in out
