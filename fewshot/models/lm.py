@@ -122,6 +122,39 @@ def embed(params: dict, tokens: jax.Array) -> jax.Array:
     return table[tokens]
 
 
+def _lstm_embed(params: dict, tokens: jax.Array, cfg,
+                k_in: jax.Array | None):
+    """(x, zx0) for the LSTM backbone: fold the embedding into the
+    layer-0 input projection when eligible.
+
+    zx0 = onehot @ (embed @ Wx_0) never materializes the [rows, E]
+    activations — forward saves rows*(E*(V+4H) - V*4H) FLOPs and the
+    backward drops BOTH big input-side matmuls (dx = dzx0 @ Wx0^T and
+    dWx0 = x^T @ dzx0, each rows*E*4H) for one rows*V*4H contraction
+    plus two tiny [V,4H]-sized ones.  Eligible only when V is small
+    (below both the one-hot threshold and the FLOP crossover
+    E*4H/(4H-E)), the row count amortizes the precontract, and embedding
+    dropout is inactive (dropout on x breaks the factorization)."""
+    table = params["embed"]
+    v = table.shape[0]
+    wx0 = params["lstm"][0]["wx"]
+    e, four_h = wx0.shape
+    rows = 1
+    for d in tokens.shape:
+        rows *= d
+    drop_active = k_in is not None and cfg.dropout > 0
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if (not drop_active and v <= ONEHOT_VOCAB_MAX and four_h > e
+            and v < (e * four_h) // (four_h - e) and rows >= 512):
+        w = jnp.dot(table.astype(dt), wx0.astype(dt),
+                    preferred_element_type=jnp.float32)       # [V, 4H]
+        hot = jax.nn.one_hot(tokens, v, dtype=dt)
+        zx0 = jnp.dot(hot, w.astype(dt),
+                      preferred_element_type=jnp.float32)     # [.., 4H]
+        return None, zx0
+    return dropout(embed(params, tokens), cfg.dropout, k_in), None
+
+
 def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
     """Inverted dropout; identity when rate==0 or no key (eval mode)."""
     if key is None or rate <= 0.0:
@@ -150,12 +183,13 @@ def lm_logits(params: dict, tokens: jax.Array, cfg,
     k_in = k_out = None
     if dropout_key is not None:
         k_in, k_out = jax.random.split(dropout_key)
-    x = dropout(embed(params, tokens), cfg.dropout, k_in)
     if cfg.model == "lstm":
+        x, zx0 = _lstm_embed(params, tokens, cfg, k_in)
         hidden, state = lstm_mod.lstm_forward(
             params["lstm"], x, mask=mask, state=state, compute_dtype=dt,
-            cell=cfg.cell, eval_mode=eval_mode)
+            cell=cfg.cell, eval_mode=eval_mode, zx0=zx0)
     else:
+        x = dropout(embed(params, tokens), cfg.dropout, k_in)
         hidden = tfm_mod.transformer_forward(params["transformer"], x, mask,
                                              cfg)
         state = None
@@ -246,10 +280,10 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
     if cfg.support_mode in ("mean_state", "attn_state"):
         flat = support.reshape(b * k_, l_)
         mask = (jnp.arange(l_) < support_len.reshape(b * k_)[:, None])
-        x = embed(params, flat)
+        x, zx0 = _lstm_embed(params, flat, cfg, None)
         _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
                                          compute_dtype=dt, cell=cfg.cell,
-                                         eval_mode=eval_mode)
+                                         eval_mode=eval_mode, zx0=zx0)
         if cfg.support_mode == "mean_state":
             return [(h.reshape(b, k_, -1).mean(axis=1),
                      c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
@@ -264,10 +298,10 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
         return pooled
     flat = support.reshape(b, k_ * l_)
     mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
-    x = embed(params, flat)
+    x, zx0 = _lstm_embed(params, flat, cfg, None)
     _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
                                      compute_dtype=dt, cell=cfg.cell,
-                                     eval_mode=eval_mode)
+                                     eval_mode=eval_mode, zx0=zx0)
     return state
 
 

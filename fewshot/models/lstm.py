@@ -85,12 +85,20 @@ def lstm_step(params: list[dict[str, jax.Array]], x: jax.Array,
 
 def _layer_scan(layer: dict[str, jax.Array], x: jax.Array,
                 mask: jax.Array | None, h0c0: tuple[jax.Array, jax.Array],
-                compute_dtype) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """Run one LSTM layer over x [B, T, in].  Returns (ys [B,T,H], (h,c))."""
-    b_, t_, _ = x.shape
-    # Bulk input projection: one MXU matmul for the whole sequence.
-    zx = jnp.dot(x.astype(compute_dtype), layer["wx"].astype(compute_dtype),
-                 preferred_element_type=jnp.float32)       # [B, T, 4H]
+                compute_dtype, zx: jax.Array | None = None
+                ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Run one LSTM layer over x [B, T, in].  Returns (ys [B,T,H], (h,c)).
+
+    zx: optional precomputed input projection [B, T, 4H] (the embedding-
+    folded fast path, models/lm.py); x is ignored when given."""
+    if zx is None:
+        b_, t_, _ = x.shape
+        # Bulk input projection: one MXU matmul for the whole sequence.
+        zx = jnp.dot(x.astype(compute_dtype),
+                     layer["wx"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)   # [B, T, 4H]
+    else:
+        b_, t_, _ = zx.shape
     zx_t = jnp.swapaxes(zx, 0, 1)                          # [T, B, 4H]
     mask_t = (jnp.swapaxes(mask, 0, 1)[..., None]
               if mask is not None else None)               # [T, B, 1]
@@ -118,7 +126,8 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
                  mask: jax.Array | None = None,
                  state: list[tuple[jax.Array, jax.Array]] | None = None,
                  compute_dtype: Any = jnp.float32,
-                 cell: str = "scan", eval_mode: bool = False):
+                 cell: str = "scan", eval_mode: bool = False,
+                 zx0: jax.Array | None = None):
     """Multi-layer LSTM over embeddings x [B, T, E].
 
     mask: [B, T] bool; False steps (padding) leave (h, c) unchanged.
@@ -127,9 +136,13 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
     multi-layer kernel then qualifies at forward-only VMEM widths (no
     saved-gates stream), which covers the flagship H=512/L=2 shape that
     the train-mode footprint excludes.
+    zx0: optional precomputed layer-0 input projection [B, T, 4H]; when
+    given, x may be None (the embedding-folded fast path — models/lm.py
+    computes zx0 = onehot @ (embed @ Wx_0) without materializing the
+    [B, T, E] activations or their backward).
     Returns (top-layer outputs [B, T, H], final per-layer state).
     """
-    b_ = x.shape[0]
+    b_ = (zx0 if x is None else x).shape[0]
     hidden = params[0]["wh"].shape[0]
     if state is None:
         state = zero_state(b_, hidden, len(params))
@@ -142,14 +155,15 @@ def lstm_forward(params: list[dict[str, jax.Array]], x: jax.Array,
             # Whole-stack fused kernel: all layers advance inside one grid
             # step (half the sequential steps at L=2, no inter-layer HBM).
             return lstm_fused.lstm_stack_fused(params, x, mask, state,
-                                               compute_dtype)
+                                               compute_dtype, zx0=zx0)
         from fewshot.ops.lstm_pallas import lstm_layer_pallas
         layer_fn = lstm_layer_pallas
     else:
         layer_fn = _layer_scan
     ys = x
     new_state = []
-    for layer, h0c0 in zip(params, state):
-        ys, hc = layer_fn(layer, ys, mask, h0c0, compute_dtype)
+    for i, (layer, h0c0) in enumerate(zip(params, state)):
+        ys, hc = layer_fn(layer, ys, mask, h0c0, compute_dtype,
+                          zx=zx0 if i == 0 else None)
         new_state.append(hc)
     return ys, new_state

@@ -379,19 +379,21 @@ lstm_stack_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # models/lstm.py adapter: whole-stack forward
 # ---------------------------------------------------------------------------
 
-def lstm_stack_fused(params, x, mask, state, compute_dtype):
+def lstm_stack_fused(params, x, mask, state, compute_dtype, zx0=None):
     """Run the WHOLE layer stack in one fused kernel pair.
 
     Same contract as looping models.lstm._layer_scan over layers: returns
     (top-layer ys [B,T,H], [(h,c)] per layer).  Caller guarantees
     hidden % 128 == 0, >= 2 layers, uniform H, and the VMEM weight
-    budget (models/lstm.py:lstm_forward)."""
-    b_, t_, _ = x.shape
+    budget (models/lstm.py:lstm_forward).  zx0: optional precomputed
+    layer-0 input projection (x may then be None)."""
+    b_, t_, _ = (zx0 if x is None else x).shape
     hidden = params[0]["wh"].shape[0]
     cdt = compute_dtype
     stream_dt = jnp.bfloat16 if cdt == jnp.bfloat16 else jnp.float32
-    zx = jnp.dot(x.astype(cdt), params[0]["wx"].astype(cdt),
-                 preferred_element_type=jnp.float32)
+    zx = zx0 if zx0 is not None else jnp.dot(
+        x.astype(cdt), params[0]["wx"].astype(cdt),
+        preferred_element_type=jnp.float32)
     zx_t = jnp.swapaxes(zx, 0, 1).astype(stream_dt)          # [T,B,4H]
     if mask is None:
         mask_t = jnp.ones((t_, b_, 1), jnp.float32)

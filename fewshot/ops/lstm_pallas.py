@@ -401,9 +401,12 @@ lstm_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 # models/lstm.py layer adapter
 # ---------------------------------------------------------------------------
 
-def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
-    """Drop-in replacement for models.lstm._layer_scan (same signature)."""
-    b_, t_, _ = x.shape
+def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype, zx=None):
+    """Drop-in replacement for models.lstm._layer_scan (same signature).
+
+    zx: optional precomputed input projection [B, T, 4H] (the embedding-
+    folded fast path, models/lm.py); x is ignored when given."""
+    b_, t_, _ = (zx if zx is not None else x).shape
     hidden = layer["wh"].shape[0]
     if hidden % 128:
         raise ValueError(
@@ -419,11 +422,13 @@ def lstm_layer_pallas(layer, x, mask, h0c0, compute_dtype):
             f"falling back to the lax.scan cell for this layer",
             stacklevel=2)
         from fewshot.models.lstm import _layer_scan
-        return _layer_scan(layer, x, mask, h0c0, compute_dtype)
+        return _layer_scan(layer, x, mask, h0c0, compute_dtype, zx=zx)
     stream_dt = (jnp.bfloat16 if compute_dtype == jnp.bfloat16
                  else jnp.float32)
-    zx = jnp.dot(x.astype(compute_dtype), layer["wx"].astype(compute_dtype),
-                 preferred_element_type=jnp.float32)       # [B, T, 4H]
+    if zx is None:
+        zx = jnp.dot(x.astype(compute_dtype),
+                     layer["wx"].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)   # [B, T, 4H]
     zx_t = jnp.swapaxes(zx, 0, 1).astype(stream_dt)        # [T, B, 4H]
     if mask is None:
         mask_t = jnp.ones((t_, b_, 1), jnp.float32)

@@ -340,3 +340,45 @@ def test_fused_tied_head_matches_two_matmuls():
         got = lm.head_logits(params, hidden, cfg)
         np.testing.assert_allclose(np.asarray(got), reference(hidden),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_embedding_fold_matches_unfolded(monkeypatch):
+    """The embedding-folded layer-0 projection (zx0 = onehot @ (E @ Wx0))
+    must match the materialized-x path to reassociation tolerance, for
+    logits and grads, with a support-primed episodic loss."""
+    import dataclasses
+
+    import fewshot.models.lm as lm
+
+    cfg = dataclasses.replace(
+        CFG_LSTM, embed_dim=64, hidden_dim=128,
+        vocab_size=50, support_mode="mean_state", dropout=0.0)
+    rng = np.random.RandomState(0)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, 50)
+    b, t = 8, 80                        # rows = 640 >= the fold gate
+    tokens = jnp.asarray(rng.randint(0, 50, (b, t)), jnp.int32)
+    lens = jnp.asarray(rng.randint(2, t, (b,)), jnp.int32)
+    mask = jnp.arange(t) < lens[:, None]
+
+    def run(p):
+        logits, _ = lm.lm_logits(p, tokens, cfg, mask=mask)
+        return logits
+
+    folded = run(params)
+    x, zx0 = lm._lstm_embed(params, tokens, cfg, None)
+    assert zx0 is not None and x is None      # fold actually engaged
+    monkeypatch.setattr(lm, "ONEHOT_VOCAB_MAX", 0)
+    unfolded = run(params)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(unfolded),
+                               atol=2e-4)
+
+    def loss(p):
+        logits, _ = lm.lm_logits(p, tokens, cfg, mask=mask)
+        return lm.sequence_nll(logits, tokens, mask.astype(jnp.float32))
+
+    g_unfolded = jax.grad(loss)(params)
+    monkeypatch.undo()
+    g_folded = jax.grad(loss)(params)
+    for a, b2 in zip(jax.tree.leaves(g_folded), jax.tree.leaves(g_unfolded)):
+        scale = float(jnp.abs(b2).max()) + 1e-12
+        assert float(jnp.abs(a - b2).max()) / scale < 1e-3
