@@ -29,8 +29,8 @@ from fewshot.data import episodes as eps
 from fewshot.data.corpus import PackedCorpus
 from fewshot.data.lyrics import detokenize
 from fewshot.data import midi as midi_mod
-from fewshot.utils.ckpt import (recover_or_init, save_checkpoint,
-                                 wait_for_checkpoints)
+from fewshot.utils.ckpt import (hparams_of, recover_or_init,
+                                 save_checkpoint, wait_for_checkpoints)
 from fewshot.utils.metrics import MetricsLogger, Throughput
 
 
@@ -97,7 +97,8 @@ def train_main(argv=None) -> None:
         val_split = _split_arg(cfg, corpus, "val")
 
     state = training.init_train_state(cfg, len(corpus.vocab))
-    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash,
+                                      hparams=hparams_of(cfg))
     start_step = int(state.step)
     if restored:
         print(f"restored checkpoint at step {start_step}", flush=True)
@@ -144,6 +145,14 @@ def train_main(argv=None) -> None:
     # pipeline and profiling keep per-step dispatch (the pipe feeds one
     # episode per call; the profiler brackets step indices).
     spc = 1 if (host_mode or args.profile_dir) else cfg.steps_per_call
+    if start_step % spc:
+        # A checkpoint written under a different steps_per_call would make
+        # the chunked range() miss every log/eval/checkpoint boundary and
+        # stop short of max_steps (advisor finding r2).
+        sys.exit(f"restored step {start_step} is not a multiple of "
+                 f"steps_per_call ({spc}) — resume with --set "
+                 f"steps_per_call=<divisor of {start_step}> (e.g. 1) or "
+                 f"the value the checkpoint was trained with")
     chunked = training.make_multi_step(train_step, spc)
     for step in range(start_step + spc, cfg.max_steps + 1, spc):
         if args.profile_dir and step == 10:
@@ -174,15 +183,32 @@ def train_main(argv=None) -> None:
             logger.log(step, val_nll=nll)
         if args.checkpt_dir and cfg.checkpoint_interval and \
                 step % cfg.checkpoint_interval == 0:
-            save_checkpoint(args.checkpt_dir, state, vocab_hash)
+            save_checkpoint(args.checkpt_dir, state, vocab_hash,
+                            hparams=hparams_of(cfg))
     if pipe is not None:
         pipe.close()
     if val_pipe is not None:
         val_pipe.close()
     if args.checkpt_dir:
-        save_checkpoint(args.checkpt_dir, state, vocab_hash, block=True)
+        save_checkpoint(args.checkpt_dir, state, vocab_hash, block=True,
+                        hparams=hparams_of(cfg))
         wait_for_checkpoints()
     logger.close()
+
+
+def _print_base_token_nll(cfg, corpus, split: str, nll: float,
+                          prefix: str) -> None:
+    """BPE-token NLL isn't comparable to base-token NLL; rescale by the
+    split-level compression ratio (exact in expectation over episodes)."""
+    if not (corpus.merges and corpus.base_song_len is not None):
+        return
+    from fewshot.data import episodes as eps
+    pool = eps.split_song_pool(corpus, split)
+    bpe_targets = np.maximum(corpus.song_len[pool] - 1, 0).sum()
+    base_targets = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
+    ratio = float(bpe_targets) / max(float(base_targets), 1.0)
+    print(f"{prefix}_nll_per_base_token={nll * ratio:.6f} "
+          f"(split compression ratio {ratio:.3f})", flush=True)
 
 
 def evaluate_main(argv=None) -> None:
@@ -198,6 +224,10 @@ def evaluate_main(argv=None) -> None:
                        help="score a FIXED episode set (npz from "
                             "scripts/make_eval_set.py) — identical result "
                             "across runs/batch sizes/pipelines")
+        p.add_argument("--also_split_eval", action="store_true",
+                       help="with --eval_set: ALSO run the random-split "
+                            "eval afterwards (off by default; one "
+                            "invocation = one advertised result)")
     args, cfg, corpus = _setup(argv, flags)
     # Same global-mesh treatment as train_main: the corpus must be replicated
     # over the GLOBAL mesh for multi-process runs, and eval batches are
@@ -218,7 +248,8 @@ def evaluate_main(argv=None) -> None:
         return
     state = training.init_train_state(cfg, len(corpus.vocab))
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
-    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash,
+                                      hparams=hparams_of(cfg))
     if args.checkpt_dir and not restored:
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
     if args.eval_set:
@@ -241,19 +272,18 @@ def evaluate_main(argv=None) -> None:
         print(f"eval_set_nll_per_token={nll:.6f} "
               f"({len(ids)} fixed episodes from {args.eval_set})",
               flush=True)
+        _print_base_token_nll(cfg, corpus, args.split, nll,
+                              prefix="eval_set")
+        if not args.also_split_eval:
+            # One invocation, one advertised result: the random-split eval
+            # is a SECOND, different metric and runs only on request
+            # (r2 verdict weak-#2).
+            return
     nll = training.evaluate(cfg, state.params, data, split,
                             jax.random.PRNGKey(cfg.seed),
                             num_episodes=args.episodes, mesh=mesh)
     print(f"{args.split}_nll_per_token={nll:.6f}", flush=True)
-    if corpus.merges and corpus.base_song_len is not None:
-        # BPE-token NLL isn't comparable to base-token NLL; rescale by the
-        # split-level compression ratio (exact in expectation over episodes).
-        pool = eps.split_song_pool(corpus, args.split)
-        bpe_targets = np.maximum(corpus.song_len[pool] - 1, 0).sum()
-        base_targets = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
-        ratio = float(bpe_targets) / max(float(base_targets), 1.0)
-        print(f"{args.split}_nll_per_base_token={nll * ratio:.6f} "
-              f"(split compression ratio {ratio:.3f})", flush=True)
+    _print_base_token_nll(cfg, corpus, args.split, nll, prefix=args.split)
     if args.per_artist and cfg.task == "episodic":
         # Per-artist breakdown: episodes drawn from each artist alone.  The
         # artist array is a TRACED argument so one compile serves them all.
@@ -296,7 +326,8 @@ def sample_main(argv=None) -> None:
     split = _split_arg(cfg, corpus, args.split)
     state = training.init_train_state(cfg, len(corpus.vocab))
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
-    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash)
+    state, restored = recover_or_init(args.checkpt_dir, state, vocab_hash,
+                                      hparams=hparams_of(cfg))
     if args.checkpt_dir and not restored:
         sys.exit(f"no checkpoint found in {args.checkpt_dir}")
 

@@ -86,12 +86,16 @@ def evaluate_unigram(cfg, corpus, data, split_artists, key,
     glp = fit_global(data.songs, data.song_len, pool, len(corpus.vocab))
     n = num_episodes if num_episodes is not None else cfg.eval_episodes
     n_batches = max(1, n // cfg.batch_size)
-    total = count = 0.0
+    # Same deferred-readback pattern as training.evaluate: dispatch every
+    # batch, accumulate on device, ONE host sync at the end (a float() per
+    # batch costs ~10ms of device->host round trip through the tunnel).
+    stats = []
     for i in range(n_batches):
         ep = eps.sample_episode(jax.random.fold_in(key, i), data,
                                 split_artists, cfg.batch_size,
                                 k=cfg.support_size, q=cfg.query_size)
-        t, c = episodic_nll_stats(ep, glp, len(corpus.vocab))
-        total += float(t)
-        count += float(c)
-    return total / max(count, 1.0)
+        stats.append(episodic_nll_stats(ep, glp, len(corpus.vocab)))
+    total = sum(t for t, _ in stats)
+    count = sum(c for _, c in stats)
+    total, count = jax.device_get((total, count))
+    return float(total) / max(float(count), 1.0)

@@ -342,6 +342,28 @@ def lstm_stack_pallas(zx, wx_rest, wh, b, mask, h0, c0):
 
 
 def _vjp_fwd(zx, wx_rest, wh, b, mask, h0, c0):
+    # Re-check TRAIN-mode eligibility here rather than trusting the caller:
+    # stack_fused_supported(eval_mode=True) admits shapes whose save-gates
+    # forward/backward would run at VMEM-forced tiny tiles (and can Mosaic-
+    # OOM) — the eval_mode contract is "will not be differentiated", and
+    # this is where a broken promise would otherwise surface as an opaque
+    # compiler error (advisor finding r2).
+    from fewshot.ops.lstm_pallas import _batch_tile
+    n_layers, hidden = wh.shape[0], wh.shape[1]
+    b_ = zx.shape[1]
+    itemsize = jnp.dtype(wh.dtype).itemsize
+    fw, bw = _stream_widths(n_layers, True)
+    per_layer = _batch_tile(b_, hidden, itemsize)
+    if (_fused_batch_tile(b_, hidden, n_layers, itemsize, fw) < per_layer
+            or _fused_batch_tile(b_, hidden, n_layers, itemsize, bw)
+            < per_layer):
+        raise ValueError(
+            "lstm_stack_pallas: differentiating a shape that is only "
+            "eligible for the fused stack in eval_mode (forward-only "
+            "footprint) — the save-gates train footprint forces degraded "
+            "tiles here.  Use the per-layer kernels for training at this "
+            "shape (models/lstm.py routes there when "
+            "stack_fused_supported(..., eval_mode=False) is False).")
     ys, cs, hT, cT, gates = _fwd_call(zx, wx_rest, wh, b, mask, h0, c0,
                                       save_gates=True)
     return (ys[-1], hT, cT), (wx_rest, wh, mask, h0, c0, ys, cs, gates)

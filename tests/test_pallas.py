@@ -235,3 +235,37 @@ def test_pallas_falls_back_on_large_hidden():
     assert any("falling back" in str(x.message) for x in w)
     ys_ref, _ = L._layer_scan(params[0], x, None, h0c0, jnp.float32)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref), atol=1e-6)
+
+
+def test_fused_stack_vjp_rejects_eval_only_shapes():
+    """Differentiating an eval_mode-only fused-stack shape must fail with a
+    clear error, not a Mosaic OOM at degraded tiles (advisor finding r2).
+
+    H=384/L=2/bf16/rows=240 is fused-eligible forward-only (no gates
+    stream) but its save-gates train footprint halves the batch tile; the
+    custom-VJP forward re-checks and refuses."""
+    import jax.numpy as jnp
+    from fewshot.ops.lstm_fused import (lstm_stack_pallas,
+                                        stack_fused_supported)
+    h, layers, rows, t = 384, 2, 240, 4
+    params = [{"wh": jnp.zeros((h, 4 * h), jnp.bfloat16),
+               "wx": jnp.zeros((h, 4 * h), jnp.bfloat16)}
+              for _ in range(layers)]
+    assert stack_fused_supported(params, jnp.bfloat16, batch_rows=rows,
+                                 eval_mode=True)
+    assert not stack_fused_supported(params, jnp.bfloat16, batch_rows=rows,
+                                     eval_mode=False)
+
+    zx = jnp.zeros((t, rows, 4 * h), jnp.bfloat16)
+    wx_rest = jnp.zeros((layers - 1, h, 4 * h), jnp.bfloat16)
+    wh = jnp.zeros((layers, h, 4 * h), jnp.bfloat16)
+    b = jnp.zeros((layers, 4 * h), jnp.float32)
+    mask = jnp.ones((t, rows, 1), jnp.float32)
+    h0 = c0 = jnp.zeros((layers, rows, h), jnp.float32)
+
+    def loss(wh_):
+        ys, _, _ = lstm_stack_pallas(zx, wx_rest, wh_, b, mask, h0, c0)
+        return jnp.sum(ys.astype(jnp.float32))
+
+    with pytest.raises(ValueError, match="eval_mode"):
+        jax.grad(loss)(wh)
