@@ -36,6 +36,15 @@ class Config:
     dropout: float = 0.0
     support_mode: str = "state"      # none | state | mean_state |
                                      # attn_state | finetune
+    support_cache: bool = False      # neural-cache head: mix the LM's next-
+                                     # token distribution with the support-
+                                     # set count posterior via a learned
+                                     # hidden-dependent gate.  The few-shot
+                                     # mechanism that scales to large
+                                     # vocabs, where routing "which rare
+                                     # words does this artist use" through
+                                     # a fixed-size state cannot (see
+                                     # benchmarks/scale_quality.json)
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -116,6 +125,15 @@ class Config:
                 "config: num_heads must divide embed_dim evenly")
         if self.task == "episodic" and self.query_size < 1:
             raise ValueError("config: episodic task needs query_size >= 1")
+        if self.support_cache:
+            if self.task != "episodic":
+                raise ValueError(
+                    "config: support_cache requires task: episodic (it "
+                    "mixes in the support-set count posterior)")
+            if self.support_mode == "finetune":
+                raise ValueError(
+                    "config: support_cache does not compose with "
+                    "support_mode: finetune (per-episode adapted params)")
         if self.steps_per_call > 1:
             # chunked dispatch can only log/eval/checkpoint on chunk
             # boundaries — intervals must align

@@ -56,7 +56,8 @@ def _synth_words(n: int, rng) -> list[str]:
 
 def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
                         songs_per_artist: int = 16, seed: int = 0,
-                        extra_vocab: int = 0) -> None:
+                        extra_vocab: int = 0,
+                        generic_frac: float = 0.0) -> None:
     """Write an (artist, song, lyrics) CSV with per-artist word styles.
 
     extra_vocab > 0 appends that many synthetic words to the shared pool
@@ -64,6 +65,12 @@ def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
     real scraped lyrics corpus (BASELINE.json:2 vocab ~5000) without
     network access.  Each artist additionally tilts onto a small signature
     subset of the pool, so episodes remain a real few-shot task.
+
+    generic_frac > 0 makes that fraction of every artist's songs SHORT and
+    style-free (drawn from one global distribution over the common pool,
+    no theme/signature words) — a heterogeneous-support regime where
+    uniform support pooling (mean_state) averages in uninformative songs
+    and learned pooling (attn_state) can downweight them.
     """
     rng = np.random.RandomState(seed)
     path = Path(path)
@@ -88,7 +95,23 @@ def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
             theme_w = rng.dirichlet(np.ones(len(theme)) * 2.0)
             theme_rate = 0.35 + 0.2 * rng.rand()
             pool_rate = 0.35 if pool else 0.0
+            n_generic = int(round(generic_frac * songs_per_artist))
             for s in range(songs_per_artist):
+                if s < n_generic:
+                    # style-free filler: short, global uniform common words
+                    n_lines = rng.randint(2, 4)
+                    counts = rng.randint(3, 6, size=n_lines)
+                    n = int(counts.sum())
+                    w = rng.choice(len(_COMMON), size=n)
+                    words = [_COMMON[int(i)] for i in w]
+                    lines = []
+                    pos = 0
+                    for c in counts:
+                        lines.append(" ".join(words[pos:pos + int(c)]))
+                        pos += int(c)
+                    writer.writerow([_artist_name(a), f"song_{s:03d}",
+                                     " / ".join(lines)])
+                    continue
                 n_lines = rng.randint(6, 12)
                 counts = rng.randint(4, 9, size=n_lines)
                 n = int(counts.sum())
@@ -124,8 +147,12 @@ _SCALES = {  # semitone offsets within an octave
 
 
 def generate_midi_corpus(root: str | Path, num_artists: int = 24,
-                         songs_per_artist: int = 16, seed: int = 0) -> None:
-    """Write per-artist directories of `.mid` files with per-artist styles."""
+                         songs_per_artist: int = 16, seed: int = 0,
+                         notes_range: tuple[int, int] = (24, 48)) -> None:
+    """Write per-artist directories of `.mid` files with per-artist styles.
+
+    notes_range: (lo, hi) notes per song — raise for long-event-stream
+    corpora (each note expands to ~4 SHIFT/PITCH/DUR/VEL events)."""
     rng = np.random.RandomState(seed + 1)
     root = Path(root)
     scale_names = list(_SCALES)
@@ -138,7 +165,7 @@ def generate_midi_corpus(root: str | Path, num_artists: int = 24,
         vel_center = rng.randint(40, 100)
         tempo_grid = rng.choice([0.125, 0.25, 0.375])  # note spacing (s)
         for s in range(songs_per_artist):
-            n_notes = rng.randint(24, 48)
+            n_notes = rng.randint(notes_range[0], notes_range[1])
             t = 0.0
             deg = rng.randint(0, len(scale))
             notes = []

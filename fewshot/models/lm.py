@@ -62,6 +62,12 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
         params["out_w"] = jax.nn.initializers.glorot_uniform()(
             k_head, (out_dim, vocab_size), jnp.float32)
     params["out_b"] = jnp.zeros((vocab_size,), jnp.float32)
+    if cfg.support_cache:
+        # hidden-dependent mixture gate of the neural-cache head
+        # (support_log_cache / cache_mixed_logp below); b=-1 starts the
+        # cache weight low (~0.27) so early training is LM-dominated
+        params["cache_gate"] = {"w": jnp.zeros((out_dim,), jnp.float32),
+                                "b": jnp.float32(-1.0)}
     return params
 
 
@@ -170,8 +176,11 @@ def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
 def lm_logits(params: dict, tokens: jax.Array, cfg,
               mask: jax.Array | None = None, state=None,
               dropout_key: jax.Array | None = None,
-              eval_mode: bool = False):
-    """tokens [B, T] -> (logits [B, T, V], final_state).
+              eval_mode: bool = False, with_hidden: bool = False):
+    """tokens [B, T] -> (logits [B, T, V], final_state[, hidden]).
+
+    with_hidden=True also returns the (post-dropout) pre-head hidden
+    states — the neural-cache gate input (cache_mixed_logp).
 
     For the transformer, `state` must be None (use sampling.py's KV-cache
     decoder for incremental decoding).  `dropout_key` enables train-mode
@@ -194,6 +203,8 @@ def lm_logits(params: dict, tokens: jax.Array, cfg,
                                              cfg)
         state = None
     hidden = dropout(hidden, cfg.dropout, k_out)
+    if with_hidden:
+        return head_logits(params, hidden, cfg), state, hidden
     return head_logits(params, hidden, cfg), state
 
 
@@ -213,6 +224,54 @@ def token_nll(logits: jax.Array, targets: jax.Array,
         ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     mask = mask.astype(jnp.float32)
     return jnp.sum(ce * mask), jnp.sum(mask)
+
+
+# ---------------------------------------------------------------------------
+# neural-cache head (cfg.support_cache)
+# ---------------------------------------------------------------------------
+
+# Smoothing pseudo-count for the cache posterior.  Small on purpose: the
+# cache's job is to spike on the support set's actual tokens; the LM branch
+# of the mixture covers everything else.
+CACHE_ALPHA = 0.01
+
+
+def support_log_cache(support: jax.Array, support_len: jax.Array,
+                      vocab_size: int) -> jax.Array:
+    """[B, V] log-probs of the support-count posterior (the "cache").
+
+    Counts run over the same positions NLL scores (targets 1..len-1, PAD
+    masked), as one one-hot multiply-reduce — no gather/scatter.  This is
+    the mechanism that makes few-shot work at vocab scale: "which rare
+    words does this artist use" is a set-membership signal that survives
+    no fixed-size state bottleneck, but is trivially carried by counts
+    (cf. the episodic-unigram floor in models/unigram.py, which this head
+    lets the neural model absorb instead of losing to)."""
+    _, targets, mask = shift_targets(support, support_len)    # [B, K, L-1]
+    hot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
+    counts = jnp.sum(hot * mask[..., None].astype(jnp.float32),
+                     axis=tuple(range(1, targets.ndim)))      # [B, V]
+    total = jnp.sum(counts, axis=-1, keepdims=True)
+    return (jnp.log(counts + CACHE_ALPHA)
+            - jnp.log(total + CACHE_ALPHA * vocab_size))
+
+
+def cache_mixed_logp(params: dict, logits: jax.Array, hidden: jax.Array,
+                     log_cache: jax.Array) -> jax.Array:
+    """Mixture log-probs: (1-g)*p_lm + g*p_cache with g = sigmoid(h.w+b).
+
+    The gate is per POSITION (hidden-dependent), so the model learns when
+    to trust the support counts (rare/style words) vs the LM (function
+    words, structure).  Output is a normalized log-distribution; the
+    downstream log_softmax in token_nll is then the identity, and
+    sampling's temperature/top-k act on the mixture as they would on
+    logits."""
+    z = (jnp.tensordot(hidden.astype(jnp.float32),
+                       params["cache_gate"]["w"], axes=([-1], [0]))
+         + params["cache_gate"]["b"])
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.logaddexp(logp + jax.nn.log_sigmoid(-z)[..., None],
+                         log_cache + jax.nn.log_sigmoid(z)[..., None])
 
 
 def sequence_nll(logits: jax.Array, targets: jax.Array,
@@ -371,6 +430,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     flat_inputs = inputs.reshape(b * q_, l_ - 1)
     flat_mask = mask.reshape(b * q_, l_ - 1)
 
+    hidden = None
     if cfg.model == "lstm":
         state = None
         if cfg.support_mode in ("state", "mean_state", "attn_state"):
@@ -379,9 +439,16 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             # Broadcast each episode's state over its Q query songs.
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
                      for h, c in state]
-        logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
-                              state=state, dropout_key=dropout_key,
-                              eval_mode=eval_mode)
+        if cfg.support_cache:
+            logits, _, hidden = lm_logits(params, flat_inputs, cfg,
+                                          mask=flat_mask, state=state,
+                                          dropout_key=dropout_key,
+                                          eval_mode=eval_mode,
+                                          with_hidden=True)
+        else:
+            logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
+                                  state=state, dropout_key=dropout_key,
+                                  eval_mode=eval_mode)
     else:
         if cfg.support_mode in ("state", "mean_state", "attn_state"):
             k_in = k_out = None
@@ -398,8 +465,20 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             hidden = dropout(hidden.reshape(b * q_, l_ - 1, -1),
                              cfg.dropout, k_out)
             logits = head_logits(params, hidden, cfg)
+        elif cfg.support_cache:
+            logits, _, hidden = lm_logits(params, flat_inputs, cfg,
+                                          mask=flat_mask,
+                                          dropout_key=dropout_key,
+                                          with_hidden=True)
         else:
             logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                                   dropout_key=dropout_key)
+
+    if cfg.support_cache:
+        # [B, V] cache per episode, broadcast over its Q query songs
+        log_cache = support_log_cache(ep.support, ep.support_len,
+                                      logits.shape[-1])
+        log_cache = jnp.repeat(log_cache, q_, axis=0)[:, None, :]
+        logits = cache_mixed_logp(params, logits, hidden, log_cache)
 
     return token_nll(logits, targets.reshape(b * q_, l_ - 1), flat_mask)

@@ -129,11 +129,17 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     # vmapped split halved generation throughput)
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
+    log_cache = (lm_mod.support_log_cache(support, support_len,
+                                          params["out_b"].shape[0])
+                 if cfg.support_cache else None)
 
     def one_step(state, tok, done, phase, sub):
         x = lm_mod.embed(params, tok)
         h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
         logits = lm_mod.head_logits(params, h, cfg)
+        if log_cache is not None:
+            # sample from the SAME mixture the NLL scores (cache head)
+            logits = lm_mod.cache_mixed_logp(params, logits, h, log_cache)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
         nxt = filtered_sample(sub, logits, temp, cfg.top_k, cfg.top_p)
@@ -174,6 +180,9 @@ def sample_transformer(params: dict, support: jax.Array,
 
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
+    log_cache = (lm_mod.support_log_cache(support, support_len,
+                                          params["out_b"].shape[0])
+                 if cfg.support_cache else None)
 
     def one_step(cache, tok, done, phase, i_sub):
         i, sub = i_sub
@@ -181,6 +190,9 @@ def sample_transformer(params: dict, support: jax.Array,
         h, cache = tfm_mod.transformer_step(tparams, x, cache,
                                             prefix_len + i, cfg)
         logits = lm_mod.head_logits(params, h, cfg)
+        if log_cache is not None:
+            # sample from the SAME mixture the NLL scores (cache head)
+            logits = lm_mod.cache_mixed_logp(params, logits, h, log_cache)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
         nxt = filtered_sample(sub, logits, temp, cfg.top_k, cfg.top_p)

@@ -1,22 +1,35 @@
 #!/usr/bin/env python
-"""Sampling throughput: tokens/sec of on-device few-shot generation.
+"""Pinned sampling-throughput benchmark -> benchmarks/sample_bench.json.
 
 The reference's sampler did one sess.run + host softmax + numpy choice per
 token (SURVEY.md §4.3) — latency-bound at host RPC speed.  Ours is a single
-lax.scan program per batch.  Prints one JSON line.
+lax.scan program per batch.
 
-Env knobs: SB_BATCH (32), SB_TOKENS (256), SB_CELL (pallas|scan).
+r2 verdict #6: the throughput was quoted as a 2.4x session band (14-34M
+tok/s) with no pinned, repeatable artifact.  This script measures with the
+repo's benchmark hygiene (fixed seed, warm TWICE, block_until_ready
+brackets, several repeats per session) and APPENDS each session to
+benchmarks/sample_bench.json, recomputing the cross-session median and
+band — the quoted number is the median, the band is honest tunnel
+variance.
+
+Env knobs: SB_BATCH (32), SB_TOKENS (256), SB_CELL (pallas|scan),
+SB_REPEATS (5).  `--no_record` skips the artifact update.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+ARTIFACT = REPO / "benchmarks" / "sample_bench.json"
 
 
 def main() -> None:
@@ -32,6 +45,7 @@ def main() -> None:
     batch = int(os.environ.get("SB_BATCH", "32"))
     n_tokens = int(os.environ.get("SB_TOKENS", "256"))
     cell = os.environ.get("SB_CELL", "pallas")
+    repeats = int(os.environ.get("SB_REPEATS", "5"))
 
     corpus = ensure_corpus()
     cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
@@ -51,29 +65,69 @@ def main() -> None:
                                  early_exit=early_exit)
 
     def measure(early_exit, iters=10):
-        toks = run(0, early_exit)
+        """Median-of-`repeats` timing; warm TWICE before the clock (the
+        first post-compile call can recompile on a sharding change —
+        CLAUDE.md benchmark hygiene)."""
+        for _ in range(2):
+            toks = run(0, early_exit)
         jax.block_until_ready(toks)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            toks = run(i, early_exit)
-        jax.block_until_ready(toks)
-        return time.perf_counter() - t0, iters
+        samples = []
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                toks = run(1 + r * iters + i, early_exit)
+            jax.block_until_ready(toks)
+            samples.append(iters * batch * n_tokens
+                           / (time.perf_counter() - t0))
+        return samples
 
     # full-length batch throughput: lax.scan path (untrained params never
-    # emit EOS, so the early-exit while_loop would run all n steps and only
-    # measure its own pipelining penalty — serving latency with real
-    # early exits is measured by tests/test_serve latency + this field)
-    dt, iters = measure(early_exit=False)
-    tps = iters * batch * n_tokens / dt
-    dt_ee, iters = measure(early_exit=True)
+    # emit EOS, so the early-exit while_loop runs all n steps and measures
+    # its own pipelining penalty — the worst case)
+    tps_samples = measure(early_exit=False)
+    ee_samples = measure(early_exit=True)
+    session = {
+        "scan_tps": [round(s, 0) for s in tps_samples],
+        "scan_tps_median": round(statistics.median(tps_samples), 0),
+        "early_exit_worst_case_tps_median": round(
+            statistics.median(ee_samples), 0),
+    }
+
+    if "--no_record" not in sys.argv:
+        doc = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
+        if "sessions" not in doc:
+            doc = {
+                "protocol": {
+                    "shape": f"B={batch} n_tokens={n_tokens} "
+                             f"lstm512x2/{cell} support-primed top-k=40",
+                    "method": f"fixed seeds, warm twice, "
+                              f"{repeats} repeats x 10 batches per "
+                              "session, block_until_ready brackets; "
+                              "quoted value = median over all recorded "
+                              "sessions (tunnel variance is real; the "
+                              "band is min..max of session medians)",
+                },
+                "sessions": [],
+            }
+        doc["sessions"].append(session)
+        meds = [s["scan_tps_median"] for s in doc["sessions"]]
+        ee = [s["early_exit_worst_case_tps_median"]
+              for s in doc["sessions"]]
+        doc["tokens_per_sec_median"] = statistics.median(meds)
+        doc["tokens_per_sec_band"] = [min(meds), max(meds)]
+        doc["early_exit_worst_case_median"] = statistics.median(ee)
+        doc["n_sessions"] = len(doc["sessions"])
+        ARTIFACT.write_text(json.dumps(doc, indent=1))
+
     print(json.dumps({
         "metric": "sample_tokens_per_sec",
-        "value": round(tps, 1),
+        "value": session["scan_tps_median"],
         "unit": f"tokens/sec (1 chip, B={batch}, n={n_tokens}, "
                 f"lstm512x2/{cell}, support-primed)",
-        "per_stream_ms_per_token": round(1e3 * dt / (iters * n_tokens), 3),
-        "early_exit_worst_case_tps": round(iters * batch * n_tokens / dt_ee,
-                                           1),
+        "per_stream_us_per_token": round(
+            1e6 * batch / session["scan_tps_median"], 2),
+        "early_exit_worst_case_tps": session[
+            "early_exit_worst_case_tps_median"],
     }))
 
 

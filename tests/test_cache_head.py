@@ -1,0 +1,158 @@
+"""Neural-cache head (cfg.support_cache): math, parity, training, sampling.
+
+The cache head mixes the LM's next-token distribution with the support-set
+count posterior through a learned hidden-dependent gate — the mechanism
+that lets the neural model absorb the episodic-unigram floor at vocab
+scale (benchmarks/scale_quality.json) instead of losing to it.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fewshot.config import Config
+from fewshot.models import lm
+
+
+def _cfg(**kw):
+    base = dict(vocab_size=64, max_len=12, embed_dim=16, hidden_dim=24,
+                num_layers=1, batch_size=4, support_size=3, query_size=2,
+                support_mode="mean_state", support_cache=True,
+                data_parallel=False)
+    base.update(kw)
+    return Config(**base)
+
+
+def _episode(key, cfg, v):
+    from fewshot.data.episodes import Episode
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    b, k, q, l = (cfg.batch_size, cfg.support_size, cfg.query_size,
+                  cfg.max_len)
+    sup = jax.random.randint(k1, (b, k, l), 3, v)
+    qry = jax.random.randint(k2, (b, q, l), 3, v)
+    sup_len = jax.random.randint(k3, (b, k), 4, l + 1)
+    qry_len = jax.random.randint(k4, (b, q), 4, l + 1)
+    return Episode(support=sup, support_len=sup_len, query=qry,
+                   query_len=qry_len, artist=jnp.zeros((b,), jnp.int32))
+
+
+def test_support_log_cache_matches_numpy_oracle():
+    cfg = _cfg()
+    v = cfg.vocab_size
+    ep = _episode(jax.random.PRNGKey(0), cfg, v)
+    got = np.asarray(lm.support_log_cache(ep.support, ep.support_len, v))
+    sup = np.asarray(ep.support)
+    slen = np.asarray(ep.support_len)
+    for b in range(sup.shape[0]):
+        counts = np.zeros(v)
+        for k in range(sup.shape[1]):
+            for t in range(1, int(slen[b, k])):       # targets 1..len-1
+                counts[sup[b, k, t]] += 1
+        want = np.log((counts + lm.CACHE_ALPHA)
+                      / (counts.sum() + lm.CACHE_ALPHA * v))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+
+def test_cache_mixed_logp_is_normalized():
+    cfg = _cfg()
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    params["cache_gate"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.hidden_dim,)) * 0.5
+    hidden = jax.random.normal(jax.random.PRNGKey(2), (5, 7,
+                                                       cfg.hidden_dim))
+    logits = jax.random.normal(jax.random.PRNGKey(3), (5, 7,
+                                                       cfg.vocab_size))
+    log_cache = jax.nn.log_softmax(
+        jax.random.normal(jax.random.PRNGKey(4), (5, 1, cfg.vocab_size)))
+    mixed = lm.cache_mixed_logp(params, logits, hidden, log_cache)
+    sums = np.exp(np.asarray(mixed)).sum(-1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+
+
+def test_gate_off_matches_plain_model():
+    """w=0, b=-30 => g~0: NLL identical to support_cache=False."""
+    cfg = _cfg()
+    cfg_off = dataclasses.replace(cfg, support_cache=False)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    params["cache_gate"]["b"] = jnp.float32(-30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, cfg.vocab_size)
+    t1, c1 = lm.episodic_nll_stats(params, ep, cfg)
+    p_off = {k: v for k, v in params.items() if k != "cache_gate"}
+    t2, c2 = lm.episodic_nll_stats(p_off, ep, cfg_off)
+    assert float(c1) == float(c2)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-5)
+
+
+def test_gate_full_matches_cache_only_nll():
+    """b=+30 => g~1: NLL equals scoring queries under the cache posterior."""
+    cfg = _cfg()
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_gate"]["b"] = jnp.float32(30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    total, count = lm.episodic_nll_stats(params, ep, cfg)
+
+    log_cache = np.asarray(lm.support_log_cache(ep.support, ep.support_len,
+                                                v))
+    qry, qlen = np.asarray(ep.query), np.asarray(ep.query_len)
+    want = 0.0
+    n = 0
+    for b in range(qry.shape[0]):
+        for q in range(qry.shape[1]):
+            for t in range(1, int(qlen[b, q])):
+                want -= log_cache[b, qry[b, q, t]]
+                n += 1
+    assert int(count) == n
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+
+def test_cache_head_trains_and_gate_learns():
+    """Few steps on a repeat-the-support task: loss falls, gate params move."""
+    from fewshot import training
+    from fewshot.data.corpus import build_lyrics_corpus
+    from fewshot.data.synthetic import generate_lyrics_csv
+    from fewshot.data import episodes as eps
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        generate_lyrics_csv(Path(tmp) / "l.csv", num_artists=8,
+                            songs_per_artist=6, seed=0)
+        corpus = build_lyrics_corpus(Path(tmp) / "l.csv",
+                                     Path(tmp) / "c", vocab_size=128,
+                                     max_len=20)
+    cfg = _cfg(vocab_size=128, max_len=20, batch_size=8, lr=5e-3)
+    data = eps.put_corpus(corpus)
+    split = jnp.asarray(corpus.splits["train"])
+    step = training.make_train_step(cfg, data, split)
+    state = training.init_train_state(cfg, len(corpus.vocab))
+    g0 = np.asarray(state.params["cache_gate"]["b"])
+    losses = []
+    for _ in range(30):
+        state, m = step(state)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert not np.allclose(np.asarray(state.params["cache_gate"]["b"]), g0)
+
+
+def test_sampling_respects_cache():
+    """b=+30: sampled tokens come (almost surely) from the support set."""
+    from fewshot import sampling
+    cfg = _cfg(top_k=0, sample_tokens=16)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_gate"]["b"] = jnp.float32(30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    toks = np.asarray(sampling.generate(params, ep.support, ep.support_len,
+                                        jax.random.PRNGKey(2), cfg))
+    sup, slen = np.asarray(ep.support), np.asarray(ep.support_len)
+    for b in range(toks.shape[0]):
+        allowed = {int(sup[b, k, t]) for k in range(sup.shape[1])
+                   for t in range(1, int(slen[b, k]))}
+        emitted = [int(t) for t in toks[b] if t != 0]     # skip PAD
+        in_cache = sum(1 for t in emitted if t in allowed)
+        assert in_cache >= 0.8 * max(len(emitted), 1), \
+            (b, emitted, sorted(allowed))
