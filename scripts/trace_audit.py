@@ -55,13 +55,34 @@ def parse_trace(trace_dir: Path) -> tuple[dict, float]:
         tpu_pids = {e["pid"] for e in events
                     if e.get("ph") == "M" and e.get("name") == "process_name"
                     and "TPU" in str(e.get("args", {}).get("name", ""))}
-        for e in events:
-            if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
-                continue
-            dur = float(e.get("dur", 0.0))
-            name = e.get("name", "?")
-            by_name[name] += dur
-            total += dur
+        # Only the "XLA Ops" lane carries the non-overlapping per-op
+        # timeline; "XLA Modules"/"Steps"/"Scalar Unit"/"TC Overlay" lanes
+        # NEST over the same wall interval and would double count.
+        op_tids = {(e["pid"], e["tid"]) for e in events
+                   if e.get("ph") == "M" and e.get("name") == "thread_name"
+                   and e["pid"] in tpu_pids
+                   and e.get("args", {}).get("name") == "XLA Ops"}
+        ops = sorted(((float(e["ts"]), float(e.get("dur", 0.0)),
+                       e.get("name", "?")) for e in events
+                      if e.get("ph") == "X"
+                      and (e.get("pid"), e.get("tid")) in op_tids),
+                     key=lambda r: (r[0], -r[1]))
+        # Events NEST (flame graph in one lane): an umbrella `while`/call
+        # op contains its body ops.  Attribute SELF time (dur minus direct
+        # children) so totals equal device-busy time, not a multiple.
+        stack: list[list] = []           # [end_ts, name, self_dur]
+        for ts, dur, name in ops:
+            while stack and stack[-1][0] <= ts + 1e-9:
+                _, n, self_dur = stack.pop()
+                by_name[n] += self_dur
+                total += self_dur
+            if stack:                    # nested: subtract from parent
+                stack[-1][2] -= dur
+            stack.append([ts + dur, name, dur])
+        while stack:
+            _, n, self_dur = stack.pop()
+            by_name[n] += self_dur
+            total += self_dur
     return dict(by_name), total
 
 
@@ -204,6 +225,10 @@ def main() -> None:
         "xla_cost_analysis_gflops_per_step": (
             round(xla_flops_per_step / 1e9, 3) if xla_flops_per_step
             else None),
+        "xla_cost_analysis_note": "undercounts: XLA's TPU cost analysis "
+            "does not include Pallas custom-call kernels (the LSTM "
+            "recurrence fwd+bwd) and skips some fused contractions; the "
+            "hand flop_model is the authoritative count for MFU",
         "per_op_us_per_step": [
             {"op": n, "us": us, "pct_of_device": pct}
             for n, us, pct in table[:25]],

@@ -156,3 +156,28 @@ def test_sampling_respects_cache():
         in_cache = sum(1 for t in emitted if t in allowed)
         assert in_cache >= 0.8 * max(len(emitted), 1), \
             (b, emitted, sorted(allowed))
+
+
+def test_fused_cache_nll_matches_explicit_mixture():
+    """cache_token_nll (target-only fused path) == mix-then-score, both
+    vocab branches (one-hot and gather)."""
+    for v in (64, 2000):
+        cfg = _cfg(vocab_size=v)
+        params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+        params["cache_gate"]["w"] = jax.random.normal(
+            jax.random.PRNGKey(1), (cfg.hidden_dim,)) * 0.3
+        rows, t = 6, 9
+        logits = jax.random.normal(jax.random.PRNGKey(2), (rows, t, v))
+        hidden = jax.random.normal(jax.random.PRNGKey(3),
+                                   (rows, t, cfg.hidden_dim))
+        log_cache = jax.nn.log_softmax(
+            jax.random.normal(jax.random.PRNGKey(4), (rows, v)))
+        targets = jax.random.randint(jax.random.PRNGKey(5), (rows, t), 0, v)
+        mask = jax.random.bernoulli(jax.random.PRNGKey(6), 0.8, (rows, t))
+        tot_f, cnt_f = lm.cache_token_nll(params, logits, hidden, log_cache,
+                                          targets, mask)
+        mixed = lm.cache_mixed_logp(params, logits, hidden,
+                                    log_cache[:, None, :])
+        tot_e, cnt_e = lm.token_nll(mixed, targets, mask)
+        assert float(cnt_f) == float(cnt_e)
+        np.testing.assert_allclose(float(tot_f), float(tot_e), rtol=2e-5)
