@@ -141,7 +141,16 @@ def flop_model(cfg, corpus_vocab: int) -> tuple[dict, float]:
     return terms, total
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus_dir", default=None,
+                    help="corpus to audit (default: the bench.py corpus)")
+    ap.add_argument("--out", default=str(REPO / "benchmarks" /
+                                         "step_profile.json"))
+    ap.add_argument("--support_cache", action="store_true")
+    args = ap.parse_args(argv)
+
     import jax
     from fewshot.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -150,11 +159,17 @@ def main() -> None:
     from fewshot.config import Config
     from fewshot.data import episodes as eps
 
-    corpus = ensure_corpus()
-    cfg = Config(vocab_size=5000, max_len=corpus.max_len, embed_dim=256,
+    if args.corpus_dir:
+        from fewshot.data.corpus import PackedCorpus
+        corpus = PackedCorpus.load(args.corpus_dir)
+    else:
+        corpus = ensure_corpus()
+    cfg = Config(vocab_size=max(5000, len(corpus.vocab)),
+                 max_len=corpus.max_len, embed_dim=256,
                  hidden_dim=512, num_layers=2, batch_size=32,
                  support_size=5, query_size=5, cell="pallas",
                  support_mode="mean_state", compute_dtype="bfloat16",
+                 support_cache=args.support_cache,
                  data_parallel=True, steps_per_call=10, log_interval=10,
                  eval_interval=0, checkpoint_interval=0, max_steps=100)
     data = eps.put_corpus(corpus)
@@ -234,7 +249,11 @@ def main() -> None:
             for n, us, pct in table[:25]],
         "ops_counted": len(table),
     }
-    path = REPO / "benchmarks" / "step_profile.json"
+    if args.support_cache:
+        out["protocol"]["support_cache"] = \
+            "on — adds VPU-side cache counting/mixing, no matmul FLOPs; " \
+            "MFU is quoted against the same matmul FLOP model"
+    path = Path(args.out)
     path.write_text(json.dumps(out, indent=1))
     print(json.dumps({"per_step_device_ms": out["per_step_device_ms"],
                       "per_step_wall_ms": out["per_step_wall_ms"],
