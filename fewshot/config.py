@@ -34,8 +34,10 @@ class Config:
     hidden_dim: int = 512
     num_layers: int = 1
     dropout: float = 0.0
-    support_mode: str = "state"      # none | state | mean_state |
-                                     # attn_state | finetune
+    support_mode: str = "state"      # none | state | mean_state | finetune
+                                     # (an attn_state learned-pooling mode
+                                     # was studied twice and removed: see
+                                     # benchmarks/attn_state_round2.json)
     support_cache: bool = False      # neural-cache head: mix the LM's next-
                                      # token distribution with the support-
                                      # set count posterior via a learned
@@ -100,8 +102,7 @@ class Config:
     _CHOICES = {
         "dataset": ("lyrics", "midi"),
         "model": ("lstm", "transformer"),
-        "support_mode": ("none", "state", "mean_state", "attn_state",
-                         "finetune"),
+        "support_mode": ("none", "state", "mean_state", "finetune"),
         "cell": ("scan", "pallas"),
         "compute_dtype": ("float32", "bfloat16"),
         "task": ("lm", "episodic"),

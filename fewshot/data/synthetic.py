@@ -69,8 +69,8 @@ def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
     generic_frac > 0 makes that fraction of every artist's songs SHORT and
     style-free (drawn from one global distribution over the common pool,
     no theme/signature words) — a heterogeneous-support regime where
-    uniform support pooling (mean_state) averages in uninformative songs
-    and learned pooling (attn_state) can downweight them.
+    uniform support pooling averages in uninformative songs; used by the
+    attn_state decision study (benchmarks/attn_state_round2.json).
     """
     rng = np.random.RandomState(seed)
     path = Path(path)

@@ -42,13 +42,6 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
     if cfg.model == "lstm":
         params["lstm"] = lstm_mod.init_lstm_params(k_backbone, e, h,
                                                    cfg.num_layers)
-        if cfg.support_mode == "attn_state":
-            # per-layer query vectors for attention pooling over the K
-            # per-song support states (support_state below)
-            params["support_attn"] = [
-                jax.random.normal(jax.random.fold_in(k_head, i), (h,),
-                                  jnp.float32) * 0.02
-                for i in range(cfg.num_layers)]
         out_dim = h
     else:
         params["transformer"] = tfm_mod.init_transformer_params(
@@ -363,31 +356,23 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
     Order-invariant over the support set, which episodic conditioning
     arguably should be anyway.
 
-    support_mode="attn_state": like mean_state but the pooling weights are a
-    learned attention (per-layer query vector over the K per-song states),
-    so the model can weight e.g. longer or more stylistic support songs.
+    (A learned attention-pooling variant, "attn_state", was built and
+    studied twice — benchmarks/attn_state_study.json and
+    benchmarks/attn_state_round2.json; it never beat mean_state, even on
+    the heterogeneous support sets it was designed for, and was removed
+    per the pre-registered decision rule.)
     """
     b, k_, l_ = support.shape
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.support_mode in ("mean_state", "attn_state"):
+    if cfg.support_mode == "mean_state":
         flat = support.reshape(b * k_, l_)
         mask = (jnp.arange(l_) < support_len.reshape(b * k_)[:, None])
         x, zx0 = _lstm_embed(params, flat, cfg, None)
         _, state = lstm_mod.lstm_forward(params["lstm"], x, mask=mask,
                                          compute_dtype=dt, cell=cfg.cell,
                                          eval_mode=eval_mode, zx0=zx0)
-        if cfg.support_mode == "mean_state":
-            return [(h.reshape(b, k_, -1).mean(axis=1),
-                     c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
-        pooled = []
-        for (h, c), q_vec in zip(state, params["support_attn"]):
-            hk = h.reshape(b, k_, -1)
-            ck = c.reshape(b, k_, -1)
-            scores = jnp.einsum("bkh,h->bk", hk, q_vec) / jnp.sqrt(
-                jnp.float32(hk.shape[-1]))
-            w = jax.nn.softmax(scores, axis=-1)[..., None]
-            pooled.append((jnp.sum(w * hk, axis=1), jnp.sum(w * ck, axis=1)))
-        return pooled
+        return [(h.reshape(b, k_, -1).mean(axis=1),
+                 c.reshape(b, k_, -1).mean(axis=1)) for h, c in state]
     flat = support.reshape(b, k_ * l_)
     mask = (jnp.arange(l_) < support_len[..., None]).reshape(b, k_ * l_)
     x, zx0 = _lstm_embed(params, flat, cfg, None)
@@ -466,7 +451,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     hidden = None
     if cfg.model == "lstm":
         state = None
-        if cfg.support_mode in ("state", "mean_state", "attn_state"):
+        if cfg.support_mode in ("state", "mean_state"):
             state = support_state(params, ep.support, ep.support_len, cfg,
                                   eval_mode=eval_mode)
             # Broadcast each episode's state over its Q query songs.
@@ -483,7 +468,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
                                   state=state, dropout_key=dropout_key,
                                   eval_mode=eval_mode)
     else:
-        if cfg.support_mode in ("state", "mean_state", "attn_state"):
+        if cfg.support_mode in ("state", "mean_state"):
             k_in = k_out = None
             if dropout_key is not None:
                 k_in, k_out = jax.random.split(dropout_key)

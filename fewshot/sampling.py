@@ -119,7 +119,7 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     # never on its position in the batch (the serving batcher coalesces
     # unrelated requests into one call).
     keys = key if key.ndim == 2 else jax.random.split(key, b)
-    if cfg.support_mode in ("state", "mean_state", "attn_state"):
+    if cfg.support_mode in ("state", "mean_state"):
         state = lm_mod.support_state(params, support, support_len, cfg,
                                      eval_mode=True)
     else:
@@ -166,7 +166,7 @@ def sample_transformer(params: dict, support: jax.Array,
     temp = (jnp.float32(cfg.temperature) if temperature is None
             else temperature)
     keys = key if key.ndim == 2 else jax.random.split(key, b)
-    use_prefix = cfg.support_mode in ("state", "mean_state", "attn_state")
+    use_prefix = cfg.support_mode in ("state", "mean_state")
     prefix_len = k_ * l_ if use_prefix else 0
     max_len = prefix_len + n_tokens + 1
     cache = tfm_mod.init_kv_cache(cfg, b, max_len)

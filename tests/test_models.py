@@ -254,37 +254,13 @@ def test_mean_state_order_invariant():
         np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
 
 
-def test_attn_state_pooling():
-    """attn_state: valid convex pooling over per-song states; equals
-    mean_state when all songs are identical; outer grads reach the query."""
+def test_attn_state_rejected():
+    """attn_state was removed after losing both pre-registered studies
+    (benchmarks/attn_state_round2.json); the config surface must reject it
+    so stale YAML/checkpoint hparams fail loudly, not silently."""
     import dataclasses
-    cfg_a = dataclasses.replace(CFG_LSTM, support_mode="attn_state")
-    cfg_m = dataclasses.replace(CFG_LSTM, support_mode="mean_state")
-    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg_a, cfg_a.vocab_size)
-    assert "support_attn" in params
-    rng = np.random.RandomState(0)
-    one_song = rng.randint(4, 40, (1, 1, 10))
-    sup_same = jnp.asarray(np.repeat(one_song, 3, axis=1), jnp.int32)
-    slen = jnp.full((1, 3), 10, jnp.int32)
-    s_a = lm_mod.support_state(params, sup_same, slen, cfg_a)
-    s_m = lm_mod.support_state(params, sup_same, slen, cfg_m)
-    for (h1, c1), (h2, c2) in zip(s_a, s_m):
-        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
-
-    # grads flow into the pooling queries during training
-    from fewshot.data.episodes import Episode
-    ep = Episode(jnp.asarray(rng.randint(4, 40, (2, 3, 10)), jnp.int32),
-                 jnp.full((2, 3), 10, jnp.int32),
-                 jnp.asarray(rng.randint(4, 40, (2, 2, 10)), jnp.int32),
-                 jnp.full((2, 2), 10, jnp.int32),
-                 jnp.zeros((2,), jnp.int32))
-
-    def loss(p):
-        t, c = lm_mod.episodic_nll_stats(p, ep, cfg_a)
-        return t / c
-    g = jax.grad(loss)(params)
-    assert any(float(jnp.abs(q).max()) > 0 for q in g["support_attn"])
+    with np.testing.assert_raises(ValueError):
+        dataclasses.replace(CFG_LSTM, support_mode="attn_state")
 
 
 def test_onehot_paths_match_gather():
