@@ -47,6 +47,15 @@ class Config:
                                      # words does this artist use" through
                                      # a fixed-size state cannot (see
                                      # benchmarks/scale_quality.json)
+    cache_backoff: str = "global"    # global | uniform — what the cache
+                                     # posterior smooths unseen tokens
+                                     # toward: a LEARNED global unigram
+                                     # with learned pseudo-count strength
+                                     # (Dirichlet-style, like the unigram
+                                     # floor's posterior) or the fixed
+                                     # uniform CACHE_ALPHA.  Identical at
+                                     # init; "uniform" keeps the r3
+                                     # pre-change checkpoint tree.
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -103,6 +112,7 @@ class Config:
         "dataset": ("lyrics", "midi"),
         "model": ("lstm", "transformer"),
         "support_mode": ("none", "state", "mean_state", "finetune"),
+        "cache_backoff": ("global", "uniform"),
         "cell": ("scan", "pallas"),
         "compute_dtype": ("float32", "bfloat16"),
         "task": ("lm", "episodic"),

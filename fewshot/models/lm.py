@@ -61,6 +61,17 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
         # cache weight low (~0.27) so early training is LM-dominated
         params["cache_gate"] = {"w": jnp.zeros((out_dim,), jnp.float32),
                                 "b": jnp.float32(-1.0)}
+        if cfg.cache_backoff == "global":
+            # Learned Dirichlet-style backoff: the cache posterior smooths
+            # support counts toward softmax(u) with strength softplus-free
+            # exp(log_s) pseudo-counts, mirroring the episodic-unigram
+            # floor's count+prior posterior (models/unigram.py) instead of
+            # a uniform alpha.  Init is EXACTLY the uniform path at every
+            # vocab size: u=0 -> 1/V each, s=CACHE_ALPHA*V -> s/V=alpha.
+            params["cache_prior"] = {
+                "u": jnp.zeros((vocab_size,), jnp.float32),
+                "log_s": jnp.log(jnp.float32(CACHE_ALPHA * vocab_size)),
+            }
     return params
 
 
@@ -101,6 +112,48 @@ def head_logits(params: dict, hidden: jax.Array, cfg) -> jax.Array:
         logits = jnp.dot(hidden.astype(dt), params["out_w"].astype(dt),
                          preferred_element_type=jnp.float32)
     return logits + params["out_b"]
+
+
+def fused_head_eligible(params: dict, cfg, vocab_size: int) -> bool:
+    """Use the fused head+CE Pallas kernel (ops/head_ce.py)?
+
+    Gated on cfg.cell="pallas" (the repo's Pallas-enable knob), large
+    vocab (below ONEHOT_VOCAB_MAX the one-hot CE paths are already MXU
+    matmuls and logits are cheap), and the kernel's VMEM plan holding for
+    the head's inner dimension."""
+    if cfg.cell != "pallas" or vocab_size <= ONEHOT_VOCAB_MAX:
+        return False
+    from fewshot.ops.head_ce import fused_head_nll_supported
+    if cfg.tie_embeddings:
+        d = params["embed"].shape[1]
+    else:
+        d = params["out_w"].shape[0]
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return fused_head_nll_supported(d, vocab_size, dt)
+
+
+def head_lse_target(params: dict, hidden: jax.Array, targets: jax.Array,
+                    cfg) -> tuple[jax.Array, jax.Array]:
+    """Fused per-position (logsumexp, target-logit) of the head logits.
+
+    hidden [..., D_in], targets [...] over the same leading dims.  The
+    numerics mirror head_logits' large-V path exactly: bf16 matmuls with
+    fp32 accumulation, fp32 bias/softmax."""
+    from fewshot.ops.head_ce import head_lse_tgt
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.tie_embeddings:
+        h2 = hidden
+        if "out_proj" in params:
+            h2 = jnp.dot(hidden.astype(dt), params["out_proj"].astype(dt),
+                         preferred_element_type=jnp.float32)
+        w = params["embed"].T
+    else:
+        h2 = hidden
+        w = params["out_w"]
+    d = w.shape[0]
+    lse, tl = head_lse_tgt(h2.astype(dt).reshape(-1, d), w,
+                           params["out_b"], targets.reshape(-1))
+    return lse.reshape(targets.shape), tl.reshape(targets.shape)
 
 
 # Below this vocab size, embedding lookup runs as a one-hot MXU matmul
@@ -169,11 +222,15 @@ def dropout(x: jax.Array, rate: float, key: jax.Array | None) -> jax.Array:
 def lm_logits(params: dict, tokens: jax.Array, cfg,
               mask: jax.Array | None = None, state=None,
               dropout_key: jax.Array | None = None,
-              eval_mode: bool = False, with_hidden: bool = False):
+              eval_mode: bool = False, with_hidden: bool = False,
+              no_head: bool = False):
     """tokens [B, T] -> (logits [B, T, V], final_state[, hidden]).
 
     with_hidden=True also returns the (post-dropout) pre-head hidden
     states — the neural-cache gate input (cache_mixed_logp).
+    no_head=True (implies with_hidden) skips the head entirely and returns
+    (None, state, hidden) — the fused head+CE path (ops/head_ce.py)
+    consumes hidden directly and never materializes logits.
 
     For the transformer, `state` must be None (use sampling.py's KV-cache
     decoder for incremental decoding).  `dropout_key` enables train-mode
@@ -196,6 +253,8 @@ def lm_logits(params: dict, tokens: jax.Array, cfg,
                                              cfg)
         state = None
     hidden = dropout(hidden, cfg.dropout, k_out)
+    if no_head:
+        return None, state, hidden
     if with_hidden:
         return head_logits(params, hidden, cfg), state, hidden
     return head_logits(params, hidden, cfg), state
@@ -205,16 +264,24 @@ def token_nll(logits: jax.Array, targets: jax.Array,
               mask: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(sum CE over masked positions, count).  fp32 log-softmax."""
     logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
     v = logits.shape[-1]
     if v <= ONEHOT_VOCAB_MAX:
         # one-hot multiply-reduce instead of take_along_axis: the gather
         # (and its scatter-add transpose) serialize on TPU (see
         # ONEHOT_VOCAB_MAX); this is one VPU multiply-sum.
+        logp = jax.nn.log_softmax(logits, axis=-1)
         hot = jax.nn.one_hot(targets, v, dtype=logp.dtype)
         ce = -jnp.sum(logp * hot, axis=-1)
     else:
-        ce = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        # lse-form CE: logp[tgt] = logits[tgt] - logsumexp(logits), so the
+        # full [.., V] fp32 log-prob array never materializes — at V=5000
+        # the log_softmax form cost an extra ~300MB write + read per pass
+        # (the top op in benchmarks/step_profile_v5000.json).  Identical
+        # math; backward still forms softmax once, as it must.
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, targets[..., None],
+                                  axis=-1)[..., 0]
+        ce = lse - tgt
     mask = mask.astype(jnp.float32)
     return jnp.sum(ce * mask), jnp.sum(mask)
 
@@ -230,7 +297,8 @@ CACHE_ALPHA = 0.01
 
 
 def support_log_cache(support: jax.Array, support_len: jax.Array,
-                      vocab_size: int) -> jax.Array:
+                      vocab_size: int,
+                      prior: dict | None = None) -> jax.Array:
     """[B, V] log-probs of the support-count posterior (the "cache").
 
     Counts run over the same positions NLL scores (targets 1..len-1, PAD
@@ -239,14 +307,26 @@ def support_log_cache(support: jax.Array, support_len: jax.Array,
     words does this artist use" is a set-membership signal that survives
     no fixed-size state bottleneck, but is trivially carried by counts
     (cf. the episodic-unigram floor in models/unigram.py, which this head
-    lets the neural model absorb instead of losing to)."""
+    lets the neural model absorb instead of losing to).
+
+    prior (cfg.cache_backoff="global", params["cache_prior"]): a LEARNED
+    Dirichlet backoff — posterior = counts + exp(log_s)*softmax(u) — so
+    unseen tokens back off toward a learned global unigram with a learned
+    strength, per-TOKEN, the same shape as the floor's count+prior
+    posterior; the scalar uniform CACHE_ALPHA (prior=None,
+    cfg.cache_backoff="uniform") cannot express that.  At the init values
+    (u=0, log_s=log(alpha*V)) the two paths coincide exactly."""
     _, targets, mask = shift_targets(support, support_len)    # [B, K, L-1]
     hot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
     counts = jnp.sum(hot * mask[..., None].astype(jnp.float32),
                      axis=tuple(range(1, targets.ndim)))      # [B, V]
     total = jnp.sum(counts, axis=-1, keepdims=True)
-    return (jnp.log(counts + CACHE_ALPHA)
-            - jnp.log(total + CACHE_ALPHA * vocab_size))
+    if prior is None:
+        return (jnp.log(counts + CACHE_ALPHA)
+                - jnp.log(total + CACHE_ALPHA * vocab_size))
+    s = jnp.exp(prior["log_s"].astype(jnp.float32))
+    p_global = jax.nn.softmax(prior["u"].astype(jnp.float32))
+    return jnp.log(counts + s * p_global[None]) - jnp.log(total + s)
 
 
 def cache_mixed_logp(params: dict, logits: jax.Array, hidden: jax.Array,
@@ -281,16 +361,28 @@ def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
 
     logits/hidden [rows, T, *]; log_cache [rows, V] (one cache row per
     query row); targets/mask [rows, T]."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    v = logp.shape[-1]
+    logits = logits.astype(jnp.float32)
+    v = logits.shape[-1]
     if v <= ONEHOT_VOCAB_MAX:
+        logp = jax.nn.log_softmax(logits, axis=-1)
         hot = jax.nn.one_hot(targets, v, dtype=logp.dtype)
         lm_t = jnp.sum(logp * hot, axis=-1)
         cache_t = jnp.einsum("rtv,rv->rt", hot, log_cache)
     else:
-        lm_t = jnp.take_along_axis(logp, targets[..., None],
-                                   axis=-1)[..., 0]
+        # lse-form (see token_nll): skip the [.., V] fp32 logp array
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        lm_t = jnp.take_along_axis(logits, targets[..., None],
+                                   axis=-1)[..., 0] - lse
         cache_t = jnp.take_along_axis(log_cache, targets, axis=-1)
+    return cache_mix_stats(params, hidden, lm_t, cache_t, mask)
+
+
+def cache_mix_stats(params: dict, hidden: jax.Array, lm_t: jax.Array,
+                    cache_t: jax.Array, mask: jax.Array
+                    ) -> tuple[jax.Array, jax.Array]:
+    """(sum CE, count) of the gated mixture given the two branches' target
+    log-probs (lm_t from logits or the fused head kernel; cache_t from the
+    support posterior)."""
     z = (jnp.tensordot(hidden.astype(jnp.float32),
                        params["cache_gate"]["w"], axes=([-1], [0]))
          + params["cache_gate"]["b"])
@@ -447,8 +539,12 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     inputs, targets, mask = shift_targets(ep.query, ep.query_len)
     flat_inputs = inputs.reshape(b * q_, l_ - 1)
     flat_mask = mask.reshape(b * q_, l_ - 1)
+    v_total = (params["embed"].shape[0] if cfg.tie_embeddings
+               else params["out_w"].shape[1])
+    fused = fused_head_eligible(params, cfg, v_total)
 
     hidden = None
+    logits = None
     if cfg.model == "lstm":
         state = None
         if cfg.support_mode in ("state", "mean_state"):
@@ -457,12 +553,12 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             # Broadcast each episode's state over its Q query songs.
             state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
                      for h, c in state]
-        if cfg.support_cache:
+        if cfg.support_cache or fused:
             logits, _, hidden = lm_logits(params, flat_inputs, cfg,
                                           mask=flat_mask, state=state,
                                           dropout_key=dropout_key,
                                           eval_mode=eval_mode,
-                                          with_hidden=True)
+                                          with_hidden=True, no_head=fused)
         else:
             logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                                   state=state, dropout_key=dropout_key,
@@ -482,12 +578,13 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
                 q_emb.reshape(b, q_, l_ - 1, -1), mask, cfg)
             hidden = dropout(hidden.reshape(b * q_, l_ - 1, -1),
                              cfg.dropout, k_out)
-            logits = head_logits(params, hidden, cfg)
-        elif cfg.support_cache:
+            if not fused:
+                logits = head_logits(params, hidden, cfg)
+        elif cfg.support_cache or fused:
             logits, _, hidden = lm_logits(params, flat_inputs, cfg,
                                           mask=flat_mask,
                                           dropout_key=dropout_key,
-                                          with_hidden=True)
+                                          with_hidden=True, no_head=fused)
         else:
             logits, _ = lm_logits(params, flat_inputs, cfg, mask=flat_mask,
                                   dropout_key=dropout_key)
@@ -496,10 +593,19 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     if cfg.support_cache:
         # [B, V] cache per episode, broadcast over its Q query songs;
         # scored via the fused target-only mixture (cache_token_nll)
-        log_cache = support_log_cache(ep.support, ep.support_len,
-                                      logits.shape[-1])
+        log_cache = support_log_cache(ep.support, ep.support_len, v_total,
+                                      prior=params.get("cache_prior"))
         log_cache = jnp.repeat(log_cache, q_, axis=0)
+        if fused:
+            lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
+            cache_t = jnp.take_along_axis(log_cache, flat_targets, axis=-1)
+            return cache_mix_stats(params, hidden, tl - lse, cache_t,
+                                   flat_mask)
         return cache_token_nll(params, logits, hidden, log_cache,
                                flat_targets, flat_mask)
+    if fused:
+        lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
+        m = flat_mask.astype(jnp.float32)
+        return jnp.sum((lse - tl) * m), jnp.sum(m)
 
     return token_nll(logits, flat_targets, flat_mask)

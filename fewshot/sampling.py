@@ -130,7 +130,8 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
     log_cache = (lm_mod.support_log_cache(support, support_len,
-                                          params["out_b"].shape[0])
+                                          params["out_b"].shape[0],
+                                          prior=params.get("cache_prior"))
                  if cfg.support_cache else None)
 
     def one_step(state, tok, done, phase, sub):
@@ -181,7 +182,8 @@ def sample_transformer(params: dict, support: jax.Array,
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
     log_cache = (lm_mod.support_log_cache(support, support_len,
-                                          params["out_b"].shape[0])
+                                          params["out_b"].shape[0],
+                                          prior=params.get("cache_prior"))
                  if cfg.support_cache else None)
 
     def one_step(cache, tok, done, phase, i_sub):

@@ -45,7 +45,8 @@ def _live_manager(ckpt_dir: Path) -> ocp.CheckpointManager:
 # num_heads splits the same fused [E,3E] QKV differently).  Stored in
 # meta.json at save; compared (warn, not fail) at restore.
 SEMANTIC_HPARAMS = ("model", "num_heads", "support_mode", "cell",
-                    "tie_embeddings", "dataset")
+                    "tie_embeddings", "dataset", "support_cache",
+                    "cache_backoff")
 
 
 def hparams_of(cfg) -> dict:

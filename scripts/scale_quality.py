@@ -43,8 +43,8 @@ def base_ratio(corpus, split: str) -> float:
     return float(bpe_t) / max(float(base_t), 1.0)
 
 
-def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False
-            ) -> dict:
+def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
+            cache_backoff: str = "uniform") -> dict:
     import jax
     import numpy as np
     from fewshot import training
@@ -59,7 +59,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False
                  embed_dim=256, hidden_dim=512, num_layers=2,
                  batch_size=32, support_size=5, query_size=5, lr=1e-3,
                  support_mode="mean_state", cell="pallas",
-                 support_cache=support_cache,
+                 support_cache=support_cache, cache_backoff=cache_backoff,
                  compute_dtype="bfloat16", eval_episodes=args.eval_episodes,
                  max_steps=args.max_steps, data_parallel=False)
     data = eps.put_corpus(corpus)
@@ -70,6 +70,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False
 
     leg = {"vocab": len(corpus.vocab), "max_len": corpus.max_len,
            "support_cache": support_cache,
+           **({"cache_backoff": cache_backoff} if support_cache else {}),
            "val_artists": int(val_split.size),
            "test_artists": int(test_split.size),
            "base_token_ratio_val": round(ratios["val"], 4),
@@ -177,8 +178,13 @@ def main(argv=None) -> None:
                      "held-out artists (models/unigram.py)",
         },
     }
-    legs = [("plain", "plain", False), ("plain_cache", "plain", True),
-            ("bpe", "bpe", False), ("bpe_cache", "bpe", True)]
+    legs = [("plain", "plain", False, "uniform"),
+            ("plain_cache", "plain", True, "uniform"),
+            ("bpe", "bpe", False, "uniform"),
+            ("bpe_cache", "bpe", True, "uniform"),
+            # learned Dirichlet backoff toward a global unigram (r3):
+            ("plain_cache_global", "plain", True, "global"),
+            ("bpe_cache_global", "bpe", True, "global")]
     if args.legs:
         wanted = set(args.legs.split(","))
         legs = [l for l in legs if l[0] in wanted]
@@ -186,8 +192,9 @@ def main(argv=None) -> None:
         result.update({k: v for k, v in
                        json.loads(Path(args.out).read_text()).items()
                        if k != "protocol"})
-    for tag, sub, cache in legs:
-        result[tag] = run_leg(tag, root / sub, args, support_cache=cache)
+    for tag, sub, cache, backoff in legs:
+        result[tag] = run_leg(tag, root / sub, args, support_cache=cache,
+                              cache_backoff=backoff)
         Path(args.out).write_text(json.dumps(result, indent=1))
 
     # Patch the comparable-NLL fields into the r2 throughput artifact so it

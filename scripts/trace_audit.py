@@ -187,7 +187,12 @@ def main(argv=None) -> None:
     jax.block_until_ready(m["loss"])
 
     n_calls = 2                   # 2 chunks x spc steps under the trace
-    trace_dir = Path("/tmp/trace_audit")
+    # A FRESH dir per run: the parser globs every plugins/profile/* session
+    # under the dir, so a reused path would sum this run's trace with every
+    # previous run's (which inflated the first two V=5000 audits until the
+    # arithmetic said device > wall).
+    import tempfile
+    trace_dir = Path(tempfile.mkdtemp(prefix="trace_audit_"))
     jax.profiler.start_trace(str(trace_dir))
     for _ in range(n_calls):
         state, m = step(state)

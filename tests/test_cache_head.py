@@ -181,3 +181,77 @@ def test_fused_cache_nll_matches_explicit_mixture():
         tot_e, cnt_e = lm.token_nll(mixed, targets, mask)
         assert float(cnt_f) == float(cnt_e)
         np.testing.assert_allclose(float(tot_f), float(tot_e), rtol=2e-5)
+
+def test_global_backoff_init_equals_uniform():
+    """cache_backoff="global" at init (u=0, log_s=log(alpha*V)) is EXACTLY
+    the uniform-alpha cache, for any vocab size."""
+    for v in (64, 500):
+        cfg = _cfg(vocab_size=v)
+        params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+        assert "cache_prior" in params
+        ep = _episode(jax.random.PRNGKey(1), cfg, v)
+        uni = lm.support_log_cache(ep.support, ep.support_len, v)
+        glo = lm.support_log_cache(ep.support, ep.support_len, v,
+                                   prior=params["cache_prior"])
+        np.testing.assert_allclose(np.asarray(glo), np.asarray(uni),
+                                   rtol=1e-6)
+
+
+def test_global_backoff_numpy_oracle():
+    """posterior = counts + exp(log_s) * softmax(u), normalized."""
+    cfg = _cfg()
+    v = cfg.vocab_size
+    ep = _episode(jax.random.PRNGKey(0), cfg, v)
+    u = jax.random.normal(jax.random.PRNGKey(7), (v,))
+    prior = {"u": u, "log_s": jnp.float32(1.3)}
+    got = np.asarray(lm.support_log_cache(ep.support, ep.support_len, v,
+                                          prior=prior))
+    sup, slen = np.asarray(ep.support), np.asarray(ep.support_len)
+    s = np.exp(1.3)
+    eu = np.exp(np.asarray(u) - np.asarray(u).max())
+    p_global = eu / eu.sum()
+    for b in range(sup.shape[0]):
+        counts = np.zeros(v)
+        for k in range(sup.shape[1]):
+            for t in range(1, int(slen[b, k])):
+                counts[sup[b, k, t]] += 1
+        want = np.log((counts + s * p_global) / (counts.sum() + s))
+        np.testing.assert_allclose(got[b], want, rtol=1e-5)
+
+
+def test_global_backoff_grads_flow():
+    """Outer grads reach the learned prior (u and log_s) through the
+    episodic NLL; uniform mode has no cache_prior params at all."""
+    cfg = _cfg()
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    ep = _episode(jax.random.PRNGKey(1), cfg, cfg.vocab_size)
+
+    def loss(p):
+        t, c = lm.episodic_nll_stats(p, ep, cfg)
+        return t / c
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["cache_prior"]["u"]).max()) > 0
+    assert float(jnp.abs(g["cache_prior"]["log_s"])) > 0
+
+    cfg_u = dataclasses.replace(cfg, cache_backoff="uniform")
+    params_u = lm.init_lm(jax.random.PRNGKey(0), cfg_u, cfg_u.vocab_size)
+    assert "cache_prior" not in params_u
+
+
+def test_global_backoff_sampling_uses_prior():
+    """A prior spiked on one token steers sampling when counts are empty
+    for it: push log_s high, u one-hot -> that token dominates the cache."""
+    from fewshot import sampling
+    cfg = _cfg(top_k=0, sample_tokens=12)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_gate"]["b"] = jnp.float32(30.0)     # all-cache mixture
+    tok = 17
+    params["cache_prior"]["u"] = jnp.zeros((v,)).at[tok].set(25.0)
+    params["cache_prior"]["log_s"] = jnp.float32(12.0)  # prior >> counts
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    toks = np.asarray(sampling.generate(params, ep.support, ep.support_len,
+                                        jax.random.PRNGKey(2), cfg))
+    emitted = [int(t) for t in toks.ravel() if t != 0]
+    frac = sum(1 for t in emitted if t == tok) / max(len(emitted), 1)
+    assert frac > 0.9, (frac, emitted[:20])

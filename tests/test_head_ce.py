@@ -1,0 +1,110 @@
+"""Fused head+CE kernel (fewshot/ops/head_ce.py): parity vs the explicit
+logits path, off-chip via Pallas interpret mode (subprocess — the flag is
+read at module import).  On-chip parity runs in scripts/tpu_checks.py."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+
+def _run(code: str) -> None:
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_head_lse_tgt_interpret_parity():
+    """Kernel (lse, target-logit) + grads == dense logits formulation,
+    including ragged shapes that force row and vocab padding."""
+    _run(r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.ops.head_ce import head_lse_tgt, fused_head_nll_supported
+
+rng = np.random.RandomState(0)
+for (r, d, v) in [(64, 128, 2000), (100, 256, 1537), (8, 128, 1100)]:
+    assert fused_head_nll_supported(d, v)
+    h2 = jnp.asarray(rng.randn(r, d), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(d, v), jnp.float32) * 0.1
+    b = jnp.asarray(rng.randn(v), jnp.float32) * 0.1
+    tgt = jnp.asarray(rng.randint(0, v, r), jnp.int32)
+    mask = jnp.asarray(rng.rand(r) < 0.8, jnp.float32)
+
+    def dense(h2, w, b):
+        logits = h2 @ w + b
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, tgt[:, None], axis=-1)[:, 0]
+        return lse, tl
+
+    lse_k, tl_k = head_lse_tgt(h2, w, b, tgt)
+    lse_r, tl_r = dense(h2, w, b)
+    assert float(jnp.abs(lse_k - lse_r).max()) < 1e-4, (r, d, v)
+    assert float(jnp.abs(tl_k - tl_r).max()) < 1e-4, (r, d, v)
+
+    # grads of the actual loss shape: sum(mask * (lse - tl)) — plus an
+    # asymmetric extra term so dlse != -dtl exercises both cotangents
+    def loss(fn, h2, w, b):
+        lse, tl = fn(h2, w, b)
+        return jnp.sum(mask * (lse - tl)) + 0.3 * jnp.sum(mask * lse)
+    gk = jax.grad(lambda *a: loss(lambda *x: head_lse_tgt(*x, tgt), *a),
+                  argnums=(0, 1, 2))(h2, w, b)
+    gr = jax.grad(lambda *a: loss(dense, *a), argnums=(0, 1, 2))(h2, w, b)
+    for a, (k_, r_) in zip("h2 w b".split(), zip(gk, gr)):
+        scale = float(jnp.abs(r_).max()) + 1e-12
+        assert float(jnp.abs(k_ - r_).max()) / scale < 2e-4, (a, r, d, v)
+print("OK")
+""")
+
+
+def test_fused_head_end_to_end_parity():
+    """episodic_nll_stats with the fused head (cell=pallas, interpret) ==
+    the explicit-logits path (cell=scan), NLL and grads, with and without
+    the cache head.  Same LSTM weights: cell only switches kernels."""
+    _run(r"""
+import dataclasses
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+from fewshot.config import Config
+from fewshot.data.episodes import Episode
+from fewshot.models import lm
+
+V = 2000   # > ONEHOT_VOCAB_MAX -> large-vocab paths on both sides
+for cache in (False, True):
+    cfg_f = Config(vocab_size=V, max_len=12, embed_dim=128, hidden_dim=128,
+                   num_layers=1, batch_size=2, support_size=3, query_size=2,
+                   support_mode="mean_state", support_cache=cache,
+                   cell="pallas", data_parallel=False)
+    cfg_r = dataclasses.replace(cfg_f, cell="scan")
+    assert lm.fused_head_eligible(
+        lm.init_lm(jax.random.PRNGKey(0), cfg_f, V), cfg_f, V)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg_f, V)
+    rng = np.random.RandomState(1)
+    ep = Episode(jnp.asarray(rng.randint(3, V, (2, 3, 12)), jnp.int32),
+                 jnp.asarray(rng.randint(4, 13, (2, 3)), jnp.int32),
+                 jnp.asarray(rng.randint(3, V, (2, 2, 12)), jnp.int32),
+                 jnp.asarray(rng.randint(4, 13, (2, 2)), jnp.int32),
+                 jnp.zeros((2,), jnp.int32))
+
+    def nll(p, cfg):
+        t, c = lm.episodic_nll_stats(p, ep, cfg)
+        return t / c
+    n_f = float(nll(params, cfg_f))
+    n_r = float(nll(params, cfg_r))
+    assert abs(n_f - n_r) < 1e-4, (cache, n_f, n_r)
+    g_f = jax.grad(lambda p: nll(p, cfg_f))(params)
+    g_r = jax.grad(lambda p: nll(p, cfg_r))(params)
+    flat_f, _ = ravel_pytree(g_f)
+    flat_r, _ = ravel_pytree(g_r)
+    scale = float(jnp.abs(flat_r).max()) + 1e-12
+    assert float(jnp.abs(flat_f - flat_r).max()) / scale < 2e-4, cache
+print("OK")
+""")
