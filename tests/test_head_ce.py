@@ -108,3 +108,54 @@ for cache in (False, True):
     assert float(jnp.abs(flat_f - flat_r).max()) / scale < 2e-4, cache
 print("OK")
 """)
+
+
+def test_fused_head_composes_with_shard_map():
+    """The fused head kernel inside the shard_map train step (8 virtual
+    CPU devices, interpret mode): compiles, runs, loss falls."""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                          " --xla_force_host_platform_device_count=8"))
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot import training
+from fewshot.config import Config
+from fewshot.data import episodes as eps
+from fewshot.data.corpus import build_lyrics_corpus
+from fewshot.data.synthetic import generate_lyrics_csv
+import tempfile
+from pathlib import Path
+
+assert jax.device_count() == 8
+with tempfile.TemporaryDirectory() as tmp:
+    generate_lyrics_csv(Path(tmp) / "l.csv", num_artists=16,
+                        songs_per_artist=20, seed=0, extra_vocab=4000)
+    corpus = build_lyrics_corpus(Path(tmp) / "l.csv", Path(tmp) / "c",
+                                 vocab_size=2000, max_len=16)
+cfg = Config(vocab_size=2000, max_len=16, embed_dim=128, hidden_dim=128,
+             num_layers=1, batch_size=8, support_size=2, query_size=2,
+             support_mode="mean_state", support_cache=True, cell="pallas",
+             data_parallel=True, lr=5e-3)
+from fewshot.models import lm
+params = lm.init_lm(jax.random.PRNGKey(0), cfg, len(corpus.vocab))
+assert lm.fused_head_eligible(params, cfg, len(corpus.vocab))
+data = eps.put_corpus(corpus)
+split = jnp.asarray(corpus.splits["train"])
+step = training.make_train_step(cfg, data, split)
+state = training.init_train_state(cfg, len(corpus.vocab))
+losses = []
+for _ in range(20):
+    state, m = step(state)
+    losses.append(float(m["loss"]))
+assert all(np.isfinite(l) for l in losses)
+assert np.mean(losses[-5:]) < np.mean(losses[:5])
+print("OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
