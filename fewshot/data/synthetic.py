@@ -54,6 +54,111 @@ def _synth_words(n: int, rng) -> list[str]:
     return words
 
 
+class ArtistStyle:
+    """The latent per-artist generative parameters (lyrics modality).
+
+    Exposed so the oracle-entropy scorer (scripts/oracle_entropy.py) can
+    compute the generator's exact token-level conditional distribution —
+    the information-theoretic floor any model's test NLL is bounded by."""
+
+    __slots__ = ("theme", "mix", "theme_w", "theme_rate", "pool_rate")
+
+    def __init__(self, theme, mix, theme_w, theme_rate, pool_rate):
+        self.theme = theme          # theme words (+12 pool signature words)
+        self.mix = mix              # Dirichlet weights over _COMMON
+        self.theme_w = theme_w      # Dirichlet weights over theme
+        self.theme_rate = theme_rate
+        self.pool_rate = pool_rate  # 0.35 when a pool exists, else 0.0
+
+
+def make_pool(extra_vocab: int, rng) -> tuple[list[str], np.ndarray | None]:
+    """The shared zipf-weighted synthetic word pool (vocab-scale corpora)."""
+    if extra_vocab <= 0:
+        return [], None
+    pool = _synth_words(extra_vocab, rng)
+    ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
+    pool_p = 1.0 / ranks ** 1.1
+    pool_p /= pool_p.sum()
+    return pool, pool_p
+
+
+# Structural constants of the song process (shared with the oracle scorer):
+# styled songs draw n_lines ~ U{6..11} with line lengths ~ U{4..8};
+# generic filler draws n_lines ~ U{2..3} with line lengths ~ U{3..5}.
+LINE_RANGE = (6, 12)
+WORDS_RANGE = (4, 9)
+GENERIC_LINE_RANGE = (2, 4)
+GENERIC_WORDS_RANGE = (3, 6)
+
+
+def _draw_style(rng, artist_idx: int, pool: list[str]) -> ArtistStyle:
+    theme = list(_THEMES[artist_idx % len(_THEMES)])
+    if pool:
+        # artist signature words drawn from the big pool
+        sig = rng.choice(len(pool), size=12, replace=False)
+        theme = theme + [pool[i] for i in sig]
+    mix = rng.dirichlet(np.ones(len(_COMMON)) * 2.0)
+    theme_w = rng.dirichlet(np.ones(len(theme)) * 2.0)
+    theme_rate = 0.35 + 0.2 * rng.rand()
+    return ArtistStyle(theme, mix, theme_w, theme_rate,
+                       0.35 if pool else 0.0)
+
+
+def _draw_song(rng, style: ArtistStyle, pool: list[str],
+               pool_p: np.ndarray | None, generic: bool) -> str:
+    if generic:
+        # style-free filler: short, global uniform common words
+        n_lines = rng.randint(*GENERIC_LINE_RANGE)
+        counts = rng.randint(*GENERIC_WORDS_RANGE, size=n_lines)
+        n = int(counts.sum())
+        w = rng.choice(len(_COMMON), size=n)
+        words = [_COMMON[int(i)] for i in w]
+    else:
+        theme = style.theme
+        n_lines = rng.randint(*LINE_RANGE)
+        counts = rng.randint(*WORDS_RANGE, size=n_lines)
+        n = int(counts.sum())
+        # vectorized per-song draws (a per-word rng.choice over a
+        # 6k-word pool would make vocab-scale generation O(minutes))
+        u = rng.rand(n)
+        w_theme = rng.choice(len(theme), size=n, p=style.theme_w)
+        w_common = rng.choice(len(_COMMON), size=n, p=style.mix)
+        words = [
+            theme[w_theme[i]] if u[i] < style.theme_rate
+            else _COMMON[w_common[i]]
+            for i in range(n)]
+        if pool:
+            w_pool = rng.choice(len(pool), size=n, p=pool_p)
+            hi = style.theme_rate + style.pool_rate
+            words = [pool[w_pool[i]]
+                     if style.theme_rate <= u[i] < hi else words[i]
+                     for i in range(n)]
+    lines = []
+    pos = 0
+    for c in counts:
+        lines.append(" ".join(words[pos:pos + int(c)]))
+        pos += int(c)
+    return " / ".join(lines)
+
+
+def lyrics_stream(num_artists: int, songs_per_artist: int, seed: int = 0,
+                  extra_vocab: int = 0, generic_frac: float = 0.0):
+    """Yield (artist_name, style, [(song_name, text, generic), ...]) with
+    the EXACT RNG stream of generate_lyrics_csv (tests pin byte equality),
+    exposing the latent ArtistStyle alongside the text."""
+    rng = np.random.RandomState(seed)
+    pool, pool_p = make_pool(extra_vocab, rng)
+    for a in range(num_artists):
+        style = _draw_style(rng, a, pool)
+        n_generic = int(round(generic_frac * songs_per_artist))
+        songs = []
+        for s in range(songs_per_artist):
+            generic = s < n_generic
+            text = _draw_song(rng, style, pool, pool_p, generic)
+            songs.append((f"song_{s:03d}", text, generic))
+        yield _artist_name(a), style, songs
+
+
 def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
                         songs_per_artist: int = 16, seed: int = 0,
                         extra_vocab: int = 0,
@@ -72,71 +177,16 @@ def generate_lyrics_csv(path: str | Path, num_artists: int = 24,
     uniform support pooling averages in uninformative songs; used by the
     attn_state decision study (benchmarks/attn_state_round2.json).
     """
-    rng = np.random.RandomState(seed)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    pool: list[str] = []
-    pool_p: np.ndarray | None = None
-    if extra_vocab > 0:
-        pool = _synth_words(extra_vocab, rng)
-        ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
-        pool_p = (1.0 / ranks ** 1.1)
-        pool_p /= pool_p.sum()
     with open(path, "w", newline="", encoding="utf-8") as f:
         writer = csv.writer(f)
         writer.writerow(["artist", "song", "lyrics"])
-        for a in range(num_artists):
-            theme = list(_THEMES[a % len(_THEMES)])
-            if pool:
-                # artist signature words drawn from the big pool
-                sig = rng.choice(len(pool), size=12, replace=False)
-                theme = theme + [pool[i] for i in sig]
-            mix = rng.dirichlet(np.ones(len(_COMMON)) * 2.0)
-            theme_w = rng.dirichlet(np.ones(len(theme)) * 2.0)
-            theme_rate = 0.35 + 0.2 * rng.rand()
-            pool_rate = 0.35 if pool else 0.0
-            n_generic = int(round(generic_frac * songs_per_artist))
-            for s in range(songs_per_artist):
-                if s < n_generic:
-                    # style-free filler: short, global uniform common words
-                    n_lines = rng.randint(2, 4)
-                    counts = rng.randint(3, 6, size=n_lines)
-                    n = int(counts.sum())
-                    w = rng.choice(len(_COMMON), size=n)
-                    words = [_COMMON[int(i)] for i in w]
-                    lines = []
-                    pos = 0
-                    for c in counts:
-                        lines.append(" ".join(words[pos:pos + int(c)]))
-                        pos += int(c)
-                    writer.writerow([_artist_name(a), f"song_{s:03d}",
-                                     " / ".join(lines)])
-                    continue
-                n_lines = rng.randint(6, 12)
-                counts = rng.randint(4, 9, size=n_lines)
-                n = int(counts.sum())
-                # vectorized per-song draws (a per-word rng.choice over a
-                # 6k-word pool would make vocab-scale generation O(minutes))
-                u = rng.rand(n)
-                w_theme = rng.choice(len(theme), size=n, p=theme_w)
-                w_common = rng.choice(len(_COMMON), size=n, p=mix)
-                words = [
-                    theme[w_theme[i]] if u[i] < theme_rate
-                    else _COMMON[w_common[i]]
-                    for i in range(n)]
-                if pool:
-                    w_pool = rng.choice(len(pool), size=n, p=pool_p)
-                    hi = theme_rate + pool_rate
-                    words = [pool[w_pool[i]]
-                             if theme_rate <= u[i] < hi else words[i]
-                             for i in range(n)]
-                lines = []
-                pos = 0
-                for c in counts:
-                    lines.append(" ".join(words[pos:pos + int(c)]))
-                    pos += int(c)
-                writer.writerow([_artist_name(a), f"song_{s:03d}",
-                                 " / ".join(lines)])
+        for artist, _style, songs in lyrics_stream(
+                num_artists, songs_per_artist, seed, extra_vocab,
+                generic_frac):
+            for song, text, _generic in songs:
+                writer.writerow([artist, song, text])
 
 
 _SCALES = {  # semitone offsets within an octave

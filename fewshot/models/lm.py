@@ -296,6 +296,17 @@ def token_nll(logits: jax.Array, targets: jax.Array,
 CACHE_ALPHA = 0.01
 
 
+def support_counts(support: jax.Array, support_len: jax.Array,
+                   vocab_size: int) -> jax.Array:
+    """[B, V] token counts over the support set's target positions
+    (targets 1..len-1, PAD masked — the same positions NLL scores), as
+    one one-hot multiply-reduce — no gather/scatter."""
+    _, targets, mask = shift_targets(support, support_len)    # [B, K, L-1]
+    hot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
+    return jnp.sum(hot * mask[..., None].astype(jnp.float32),
+                   axis=tuple(range(1, targets.ndim)))        # [B, V]
+
+
 def support_log_cache(support: jax.Array, support_len: jax.Array,
                       vocab_size: int,
                       prior: dict | None = None) -> jax.Array:
@@ -316,10 +327,7 @@ def support_log_cache(support: jax.Array, support_len: jax.Array,
     posterior; the scalar uniform CACHE_ALPHA (prior=None,
     cfg.cache_backoff="uniform") cannot express that.  At the init values
     (u=0, log_s=log(alpha*V)) the two paths coincide exactly."""
-    _, targets, mask = shift_targets(support, support_len)    # [B, K, L-1]
-    hot = jax.nn.one_hot(targets, vocab_size, dtype=jnp.float32)
-    counts = jnp.sum(hot * mask[..., None].astype(jnp.float32),
-                     axis=tuple(range(1, targets.ndim)))      # [B, V]
+    counts = support_counts(support, support_len, vocab_size)
     total = jnp.sum(counts, axis=-1, keepdims=True)
     if prior is None:
         return (jnp.log(counts + CACHE_ALPHA)
