@@ -72,35 +72,68 @@ def word_dist(style, pool_vec: np.ndarray, common_ids: np.ndarray,
 
 
 def score_artist(style, songs, vocab, pool_vec, common_ids, V,
-                 h_word, h_line, slash_id) -> tuple[float, int, float, int]:
-    """(word_nll_sum, word_count, struct_nll_sum, struct_count)."""
+                 h_word, h_line, slash_id, k_support: int = 5) -> dict:
+    """Exact oracle NLL sums for one artist, decomposed.
+
+    Beyond the word/structural split, word positions are further split by
+    EXPECTED support membership under the eval sampler's episode draw
+    (support = k_support songs uniform from the artist's others): for a
+    query song q, P(target id unseen) = C(n-1-m, k)/C(n-1, k) with m =
+    number of OTHER songs whose targets contain the id — the same
+    by-vocab-id "seen" condition scripts/gap_analysis.py measures on the
+    model, so the two decompositions are directly comparable."""
+    from math import comb
+
     dist = word_dist(style, pool_vec, common_ids, vocab)
     logp = np.full(V, -np.inf)
     nz = dist > 0
     logp[nz] = np.log(dist[nz])
-    w_nll = s_nll = 0.0
-    w_cnt = s_cnt = 0
+
+    song_ids = []
     for _name, text, generic in songs:
         assert not generic, "generic filler songs need their own hazards"
-        ids = vocab.encode(tokenize_line(text))
+        song_ids.append(vocab.encode(tokenize_line(text)))
+    n = len(song_ids)
+    id_sets = [set(ids) for ids in song_ids]
+    in_songs: dict[int, int] = {}
+    for s in id_sets:
+        for t in s:
+            in_songs[t] = in_songs.get(t, 0) + 1
+    # P(id unseen | m of the n-1 other songs contain it)
+    denom = comb(n - 1, k_support)
+    p_unseen_by_m = [comb(n - 1 - m, k_support) / denom
+                     if n - 1 - m >= k_support else 0.0
+                     for m in range(n)]
+
+    acc = dict(w_nll=0.0, w_cnt=0, slash_nll=0.0, slash_cnt=0,
+               eos_nll=0.0, eos_cnt=0,
+               seen_nll=0.0, seen_w=0.0, unseen_nll=0.0, unseen_w=0.0)
+    for q, ids in enumerate(song_ids):
         i, j = 1, 0
         for t in ids + [EOS]:
             assert j <= max(h_word) and i <= max(h_line), (i, j)
             hj = h_word.get(j, 0.0)   # 0 below the min line length
             gi = h_line.get(i, 0.0)   # 0 below the min line count
             if t == EOS:
-                s_nll -= np.log(hj * gi)
-                s_cnt += 1
+                acc["eos_nll"] -= np.log(hj * gi)
+                acc["eos_cnt"] += 1
             elif t == slash_id:
-                s_nll -= np.log(hj * (1.0 - gi))
-                s_cnt += 1
+                acc["slash_nll"] -= np.log(hj * (1.0 - gi))
+                acc["slash_cnt"] += 1
                 i += 1
                 j = 0
             else:
-                w_nll -= np.log1p(-hj) + logp[t]
-                w_cnt += 1
+                nll = -(np.log1p(-hj) + logp[t])
+                acc["w_nll"] += nll
+                acc["w_cnt"] += 1
+                m = in_songs[t] - (1 if t in id_sets[q] else 0)
+                pu = p_unseen_by_m[m]
+                acc["unseen_nll"] += pu * nll
+                acc["unseen_w"] += pu
+                acc["seen_nll"] += (1.0 - pu) * nll
+                acc["seen_w"] += 1.0 - pu
                 j += 1
-    return w_nll, w_cnt, s_nll, s_cnt
+    return acc
 
 
 def main(argv=None) -> None:
@@ -112,6 +145,9 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--extra_vocab", type=int, default=6000)
     p.add_argument("--splits", default="test,val")
+    p.add_argument("--k_support", type=int, default=5,
+                   help="support size for the expected seen/unseen "
+                        "decomposition (matches the eval sampler)")
     p.add_argument("--out",
                    default=str(REPO / "benchmarks" / "oracle_entropy.json"))
     args = p.parse_args(argv)
@@ -140,8 +176,9 @@ def main(argv=None) -> None:
     h_word = _hazard(lo_w, hi_w)        # h_word[hi_w-1] == 1.0
     h_line = _hazard(lo_l, hi_l)
 
-    per_split = {s: dict(w_nll=0.0, w_cnt=0, s_nll=0.0, s_cnt=0,
-                         artists=0) for s in wanted}
+    keys = ("w_nll", "w_cnt", "slash_nll", "slash_cnt", "eos_nll",
+            "eos_cnt", "seen_nll", "seen_w", "unseen_nll", "unseen_w")
+    per_split = {s: dict({k: 0.0 for k in keys}, artists=0) for s in wanted}
     checked = 0
     for artist, style, songs in synthetic.lyrics_stream(
             args.artists, args.songs, args.seed, args.extra_vocab):
@@ -160,16 +197,13 @@ def main(argv=None) -> None:
             checked += 1
         if aidx not in wanted_idx:
             continue
-        w_nll, w_cnt, s_nll, s_cnt = score_artist(
-            style, songs, vocab, pool_vec, common_ids, V,
-            h_word, h_line, slash_id)
+        acc = score_artist(style, songs, vocab, pool_vec, common_ids, V,
+                           h_word, h_line, slash_id, args.k_support)
         for s, idxs in wanted.items():
             if aidx in idxs:
                 d = per_split[s]
-                d["w_nll"] += w_nll
-                d["w_cnt"] += w_cnt
-                d["s_nll"] += s_nll
-                d["s_cnt"] += s_cnt
+                for k in keys:
+                    d[k] += acc[k]
                 d["artists"] += 1
 
     result = {
@@ -183,13 +217,24 @@ def main(argv=None) -> None:
         "wall_sec": None,
     }
     for s, d in per_split.items():
-        n = d["w_cnt"] + d["s_cnt"]
+        s_nll = d["slash_nll"] + d["eos_nll"]
+        s_cnt = d["slash_cnt"] + d["eos_cnt"]
+        n = d["w_cnt"] + s_cnt
         result[s] = {
-            "oracle_nll_per_token": round((d["w_nll"] + d["s_nll"]) / n, 4),
+            "oracle_nll_per_token": round((d["w_nll"] + s_nll) / n, 4),
             "word_positions_nll": round(d["w_nll"] / d["w_cnt"], 4),
-            "structural_positions_nll": round(d["s_nll"] / d["s_cnt"], 4),
-            "word_fraction": round(d["w_cnt"] / n, 4),
-            "n_tokens": n,
+            "structural_positions_nll": round(s_nll / s_cnt, 4),
+            "slash_nll": round(d["slash_nll"] / d["slash_cnt"], 4),
+            "eos_nll": round(d["eos_nll"] / d["eos_cnt"], 4),
+            # expected decomposition under K-support episode sampling,
+            # same by-id "seen" condition as scripts/gap_analysis.py
+            "word_seen_nll": round(d["seen_nll"] / d["seen_w"], 4),
+            "word_unseen_nll": round(d["unseen_nll"] / d["unseen_w"], 4),
+            "word_unseen_fraction": round(
+                d["unseen_w"] / d["w_cnt"], 4),
+            "k_support": args.k_support,
+            "word_fraction": round(d["w_cnt"] / int(n), 4),
+            "n_tokens": int(n),
             "n_artists": d["artists"],
         }
     result["wall_sec"] = round(time.time() - t0, 1)
