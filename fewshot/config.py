@@ -56,6 +56,13 @@ class Config:
                                      # uniform CACHE_ALPHA.  Identical at
                                      # init; "uniform" keeps the r3
                                      # pre-change checkpoint tree.
+    cache_calib: bool = False        # learned per-count-level calibration
+                                     # of the cache posterior (phi(c)
+                                     # table, init identity) — see
+                                     # lm.cache_posterior_parts
+    cache_dynamic: bool = False      # continuous cache: add the query's
+                                     # own autoregressive prefix counts
+                                     # to the posterior (NLL and sampling)
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -145,6 +152,10 @@ class Config:
                 raise ValueError(
                     "config: support_cache does not compose with "
                     "support_mode: finetune (per-episode adapted params)")
+        elif self.cache_calib or self.cache_dynamic:
+            raise ValueError(
+                "config: cache_calib/cache_dynamic require "
+                "support_cache: true (they modify the cache posterior)")
         if self.steps_per_call > 1:
             # chunked dispatch can only log/eval/checkpoint on chunk
             # boundaries — intervals must align

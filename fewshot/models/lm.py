@@ -72,6 +72,14 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
                 "u": jnp.zeros((vocab_size,), jnp.float32),
                 "log_s": jnp.log(jnp.float32(CACHE_ALPHA * vocab_size)),
             }
+        if cfg.cache_calib:
+            # Learned count-level calibration phi(c) = exp(t[c]); init
+            # t[c] = log(c) makes it the identity (pure generalization
+            # lever — see cache_posterior_parts).
+            params["cache_calib"] = {
+                "t": jnp.log(jnp.arange(1, CACHE_CALIB_MAX + 1,
+                                        dtype=jnp.float32)),
+            }
     return params
 
 
@@ -295,6 +303,11 @@ def token_nll(logits: jax.Array, targets: jax.Array,
 # of the mixture covers everything else.
 CACHE_ALPHA = 0.01
 
+# cfg.cache_calib: counts above this extend the last calibration-table
+# slot multiplicatively (support counts concentrate below ~32 at K=5;
+# '/' separators peak ~45 and ride the top slot's learned scale).
+CACHE_CALIB_MAX = 32
+
 
 def support_counts(support: jax.Array, support_len: jax.Array,
                    vocab_size: int) -> jax.Array:
@@ -307,9 +320,78 @@ def support_counts(support: jax.Array, support_len: jax.Array,
                    axis=tuple(range(1, targets.ndim)))        # [B, V]
 
 
-def support_log_cache(support: jax.Array, support_len: jax.Array,
-                      vocab_size: int,
-                      prior: dict | None = None) -> jax.Array:
+def cache_posterior_parts(params: dict, support: jax.Array,
+                          support_len: jax.Array, vocab_size: int
+                          ) -> tuple[jax.Array, jax.Array, jax.Array,
+                                     jax.Array]:
+    """(phi [B,V], total [B,1], s [], p_global [V]) with the cache
+    posterior = (phi + s*p_global) / (total + s) — one representation for
+    every cache variant:
+
+    - phi = raw support counts, or, with cfg.cache_calib
+      (params["cache_calib"]), a LEARNED per-count-level calibration
+      phi(c) = exp(t[c]) (phi(0)=0, t init log(c) => identity): the
+      Bayes posterior E[p|count] of the true generator is not
+      proportional to c (benchmarks/gap_analysis.json: two-thirds of the
+      oracle gap sits on seen-word calibration), and a free monotone-free
+      table lets SGD find the mapping instead of hand-deriving it.
+    - (s, p_global) = uniform CACHE_ALPHA pseudo-counts, or the learned
+      Dirichlet backoff (params["cache_prior"], cfg.cache_backoff=global).
+    """
+    counts = support_counts(support, support_len, vocab_size)
+    calib = params.get("cache_calib")
+    if calib is None:
+        phi = counts
+    else:
+        # Counts past the table extend the top slot multiplicatively
+        # (phi = exp(t[MAX-1]) * c/MAX), so init (t[c]=log(c)) is the
+        # EXACT identity phi(c)=c for every c, not just c<=MAX.
+        idx = jnp.clip(counts.astype(jnp.int32) - 1, 0, CACHE_CALIB_MAX - 1)
+        c_cap = jnp.clip(counts, 1.0, float(CACHE_CALIB_MAX))
+        phi = jnp.where(counts > 0,
+                        jnp.exp(calib["t"].astype(jnp.float32)[idx])
+                        * (counts / c_cap), 0.0)
+    total = jnp.sum(phi, axis=-1, keepdims=True)
+    prior = params.get("cache_prior")
+    if prior is None:
+        s = jnp.float32(CACHE_ALPHA * vocab_size)
+        p_global = jnp.full((vocab_size,), 1.0 / vocab_size, jnp.float32)
+    else:
+        s = jnp.exp(prior["log_s"].astype(jnp.float32))
+        p_global = jax.nn.softmax(prior["u"].astype(jnp.float32))
+    return phi, total, s, p_global
+
+
+def dynamic_cache_target_logp(phi: jax.Array, total: jax.Array,
+                              s: jax.Array, p_global: jax.Array,
+                              targets: jax.Array, mask: jax.Array
+                              ) -> jax.Array:
+    """[rows, T] cache-branch log-prob at each target with the query's own
+    autoregressive prefix counts added (continuous cache, cfg.cache_dynamic):
+
+        logp(t) = log(phi_sup(w_t) + c_prefix(t, w_t) + s*p(w_t))
+                - log(total_sup + len_prefix(t) + s)
+
+    Prefix counts are RAW (calibration applies to support counts only) so
+    the normalizer stays the closed-form masked prefix length instead of a
+    per-position [T, V] recount.  Counts run over the same positions NLL
+    scores (previous masked targets), matching the support-count semantics.
+    """
+    eq = targets[:, :, None] == targets[:, None, :]          # [rows, T, T]
+    t_ = targets.shape[-1]
+    tri = jnp.tril(jnp.ones((t_, t_), jnp.bool_), -1)
+    msk = mask[:, None, :].astype(jnp.float32)
+    c_pre = jnp.sum(eq * tri[None] * msk, axis=-1)           # [rows, T]
+    plen = jnp.cumsum(mask.astype(jnp.float32), axis=-1) \
+        - mask.astype(jnp.float32)                           # exclusive
+    phi_t = jnp.take_along_axis(phi, targets, axis=-1)
+    return (jnp.log(phi_t + c_pre + s * p_global[targets])
+            - jnp.log(total + plen + s))
+
+
+def support_log_cache(params: dict, support: jax.Array,
+                      support_len: jax.Array,
+                      vocab_size: int) -> jax.Array:
     """[B, V] log-probs of the support-count posterior (the "cache").
 
     Counts run over the same positions NLL scores (targets 1..len-1, PAD
@@ -320,21 +402,18 @@ def support_log_cache(support: jax.Array, support_len: jax.Array,
     (cf. the episodic-unigram floor in models/unigram.py, which this head
     lets the neural model absorb instead of losing to).
 
-    prior (cfg.cache_backoff="global", params["cache_prior"]): a LEARNED
-    Dirichlet backoff — posterior = counts + exp(log_s)*softmax(u) — so
-    unseen tokens back off toward a learned global unigram with a learned
-    strength, per-TOKEN, the same shape as the floor's count+prior
-    posterior; the scalar uniform CACHE_ALPHA (prior=None,
-    cfg.cache_backoff="uniform") cannot express that.  At the init values
-    (u=0, log_s=log(alpha*V)) the two paths coincide exactly."""
-    counts = support_counts(support, support_len, vocab_size)
-    total = jnp.sum(counts, axis=-1, keepdims=True)
-    if prior is None:
-        return (jnp.log(counts + CACHE_ALPHA)
-                - jnp.log(total + CACHE_ALPHA * vocab_size))
-    s = jnp.exp(prior["log_s"].astype(jnp.float32))
-    p_global = jax.nn.softmax(prior["u"].astype(jnp.float32))
-    return jnp.log(counts + s * p_global[None]) - jnp.log(total + s)
+    Backoff (cfg.cache_backoff="global", params["cache_prior"]): a
+    LEARNED Dirichlet backoff — posterior = phi + exp(log_s)*softmax(u)
+    — so unseen tokens back off toward a learned global unigram with a
+    learned strength, per-TOKEN, the same shape as the floor's
+    count+prior posterior; the scalar uniform CACHE_ALPHA
+    (cfg.cache_backoff="uniform") cannot express that.  phi = counts, or
+    the learned per-count-level calibration (cfg.cache_calib) — see
+    cache_posterior_parts.  At init every variant coincides exactly with
+    the uniform-alpha raw-count posterior."""
+    phi, total, s, p_global = cache_posterior_parts(
+        params, support, support_len, vocab_size)
+    return jnp.log(phi + s * p_global[None]) - jnp.log(total + s)
 
 
 def cache_mixed_logp(params: dict, logits: jax.Array, hidden: jax.Array,
@@ -369,20 +448,29 @@ def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
 
     logits/hidden [rows, T, *]; log_cache [rows, V] (one cache row per
     query row); targets/mask [rows, T]."""
+    v = logits.shape[-1]
+    lm_t = lm_target_logp(logits, targets)
+    if v <= ONEHOT_VOCAB_MAX:
+        hot = jax.nn.one_hot(targets, v, dtype=jnp.float32)
+        cache_t = jnp.einsum("rtv,rv->rt", hot, log_cache)
+    else:
+        cache_t = jnp.take_along_axis(log_cache, targets, axis=-1)
+    return cache_mix_stats(params, hidden, lm_t, cache_t, mask)
+
+
+def lm_target_logp(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """[.., T] log-softmax of the logits at the target ids; one-hot
+    multiply-reduce below ONEHOT_VOCAB_MAX (MXU-friendly), lse-form gather
+    above (no [.., V] fp32 logp materialization)."""
     logits = logits.astype(jnp.float32)
     v = logits.shape[-1]
     if v <= ONEHOT_VOCAB_MAX:
         logp = jax.nn.log_softmax(logits, axis=-1)
         hot = jax.nn.one_hot(targets, v, dtype=logp.dtype)
-        lm_t = jnp.sum(logp * hot, axis=-1)
-        cache_t = jnp.einsum("rtv,rv->rt", hot, log_cache)
-    else:
-        # lse-form (see token_nll): skip the [.., V] fp32 logp array
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        lm_t = jnp.take_along_axis(logits, targets[..., None],
-                                   axis=-1)[..., 0] - lse
-        cache_t = jnp.take_along_axis(log_cache, targets, axis=-1)
-    return cache_mix_stats(params, hidden, lm_t, cache_t, mask)
+        return jnp.sum(logp * hot, axis=-1)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    return jnp.take_along_axis(logits, targets[..., None],
+                               axis=-1)[..., 0] - lse
 
 
 def cache_mix_stats(params: dict, hidden: jax.Array, lm_t: jax.Array,
@@ -601,8 +689,22 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     if cfg.support_cache:
         # [B, V] cache per episode, broadcast over its Q query songs;
         # scored via the fused target-only mixture (cache_token_nll)
-        log_cache = support_log_cache(ep.support, ep.support_len, v_total,
-                                      prior=params.get("cache_prior"))
+        if cfg.cache_dynamic:
+            phi, total, s, p_global = cache_posterior_parts(
+                params, ep.support, ep.support_len, v_total)
+            cache_t = dynamic_cache_target_logp(
+                jnp.repeat(phi, q_, axis=0), jnp.repeat(total, q_, axis=0),
+                s, p_global, flat_targets, flat_mask)
+            if fused:
+                lse, tl = head_lse_target(params, hidden, flat_targets,
+                                          cfg)
+                lm_t = tl - lse
+            else:
+                lm_t = lm_target_logp(logits, flat_targets)
+            return cache_mix_stats(params, hidden, lm_t, cache_t,
+                                   flat_mask)
+        log_cache = support_log_cache(params, ep.support, ep.support_len,
+                                      v_total)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
         if fused:
             lse, tl = head_lse_target(params, hidden, flat_targets, cfg)

@@ -101,6 +101,41 @@ def _run_decode(one_step, init, xs, b: int, n_tokens: int,
     return carry[-1]                                    # [B, n]
 
 
+def _cache_ctx(params: dict, support: jax.Array, support_len: jax.Array,
+               cfg):
+    """None, or the cache-head context for the decode loop.
+
+    Static cache: the [B, V] support posterior, fixed over the rollout.
+    cfg.cache_dynamic: the posterior parts (phi, total, s, p_global); the
+    decode loop carries its own emitted-token counts and recomputes the
+    posterior each step — generation mirrors the continuous-cache NLL
+    (lm.dynamic_cache_target_logp) the model trains under."""
+    if not cfg.support_cache:
+        return None
+    v = params["out_b"].shape[0]
+    if cfg.cache_dynamic:
+        return ("dynamic",) + lm_mod.cache_posterior_parts(
+            params, support, support_len, v)
+    return ("static",
+            lm_mod.support_log_cache(params, support, support_len, v))
+
+
+def _dynamic_log_cache(ctx, c_pre, n_pre):
+    _, phi, total, s, p_global = ctx
+    return (jnp.log(phi + c_pre + s * p_global[None])
+            - jnp.log(total + n_pre + s))
+
+
+def _count_emitted(c_pre, n_pre, nxt):
+    """Add the just-emitted token to the carried prefix counts (finished
+    rows emit PAD, which must not count — PAD is a real row id)."""
+    v = c_pre.shape[-1]
+    live = (nxt != PAD).astype(jnp.float32)
+    c_pre = c_pre + jax.nn.one_hot(nxt, v, dtype=jnp.float32) \
+        * live[:, None]
+    return c_pre, n_pre + live[:, None]
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_tokens", "early_exit"))
 def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
                 key: jax.Array, cfg, n_tokens: int,
@@ -129,17 +164,21 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
     # vmapped split halved generation throughput)
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
-    log_cache = (lm_mod.support_log_cache(support, support_len,
-                                          params["out_b"].shape[0],
-                                          prior=params.get("cache_prior"))
-                 if cfg.support_cache else None)
+    ctx = _cache_ctx(params, support, support_len, cfg)
+    dynamic = ctx is not None and ctx[0] == "dynamic"
 
-    def one_step(state, tok, done, phase, sub):
+    def one_step(carry, tok, done, phase, sub):
+        if dynamic:
+            state, c_pre, n_pre = carry
+        else:
+            state = carry
         x = lm_mod.embed(params, tok)
         h, state = lstm_mod.lstm_step(params["lstm"], x, state, dt)
         logits = lm_mod.head_logits(params, h, cfg)
-        if log_cache is not None:
+        if ctx is not None:
             # sample from the SAME mixture the NLL scores (cache head)
+            log_cache = (_dynamic_log_cache(ctx, c_pre, n_pre)
+                         if dynamic else ctx[1])
             logits = lm_mod.cache_mixed_logp(params, logits, h, log_cache)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
@@ -148,8 +187,15 @@ def sample_lstm(params: dict, support: jax.Array, support_len: jax.Array,
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
         phase = jnp.where(done, phase, (phase + 1) % n_phases)
+        if dynamic:
+            c_pre, n_pre = _count_emitted(c_pre, n_pre, nxt)
+            state = (state, c_pre, n_pre)
         return state, nxt, done, phase
 
+    if dynamic:
+        v = params["out_b"].shape[0]
+        state = (state, jnp.zeros((b, v), jnp.float32),
+                 jnp.zeros((b, 1), jnp.float32))
     init = (state, jnp.full((b,), BOS, jnp.int32),
             jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32))
     return _run_decode(one_step, init, step_keys, b, n_tokens, early_exit)
@@ -181,19 +227,23 @@ def sample_transformer(params: dict, support: jax.Array,
 
     step_keys = jnp.swapaxes(
         jax.vmap(lambda k: jax.random.split(k, n_tokens))(keys), 0, 1)
-    log_cache = (lm_mod.support_log_cache(support, support_len,
-                                          params["out_b"].shape[0],
-                                          prior=params.get("cache_prior"))
-                 if cfg.support_cache else None)
+    ctx = _cache_ctx(params, support, support_len, cfg)
+    dynamic = ctx is not None and ctx[0] == "dynamic"
 
-    def one_step(cache, tok, done, phase, i_sub):
+    def one_step(carry, tok, done, phase, i_sub):
+        if dynamic:
+            cache, c_pre, n_pre = carry
+        else:
+            cache = carry
         i, sub = i_sub
         x = lm_mod.embed(params, tok)
         h, cache = tfm_mod.transformer_step(tparams, x, cache,
                                             prefix_len + i, cfg)
         logits = lm_mod.head_logits(params, h, cfg)
-        if log_cache is not None:
+        if ctx is not None:
             # sample from the SAME mixture the NLL scores (cache head)
+            log_cache = (_dynamic_log_cache(ctx, c_pre, n_pre)
+                         if dynamic else ctx[1])
             logits = lm_mod.cache_mixed_logp(params, logits, h, log_cache)
         if token_masks is not None:
             logits = jnp.where(token_masks[phase], logits, -jnp.inf)
@@ -202,8 +252,15 @@ def sample_transformer(params: dict, support: jax.Array,
         done = done | (nxt == EOS)
         n_phases = token_masks.shape[0] if token_masks is not None else 1
         phase = jnp.where(done, phase, (phase + 1) % n_phases)
+        if dynamic:
+            c_pre, n_pre = _count_emitted(c_pre, n_pre, nxt)
+            cache = (cache, c_pre, n_pre)
         return cache, nxt, done, phase
 
+    if dynamic:
+        v = params["out_b"].shape[0]
+        cache = (cache, jnp.zeros((b, v), jnp.float32),
+                 jnp.zeros((b, 1), jnp.float32))
     init = (cache, jnp.full((b,), BOS, jnp.int32),
             jnp.zeros((b,), jnp.bool_), jnp.zeros((b,), jnp.int32))
     return _run_decode(one_step, init,

@@ -62,9 +62,8 @@ def make_decomposed_eval(cfg, data, split, slash_id: int):
                                          eval_mode=True, with_hidden=True,
                                          no_head=fused)
         counts = lm.support_counts(ep.support, ep.support_len, v_total)
-        log_cache = lm.support_log_cache(ep.support, ep.support_len,
-                                         v_total,
-                                         prior=params.get("cache_prior"))
+        log_cache = lm.support_log_cache(params, ep.support,
+                                         ep.support_len, v_total)
         counts = jnp.repeat(counts, q_, axis=0)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
 

@@ -44,7 +44,8 @@ def base_ratio(corpus, split: str) -> float:
 
 
 def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
-            cache_backoff: str = "uniform") -> dict:
+            cache_backoff: str = "uniform", cache_calib: bool = False,
+            cache_dynamic: bool = False) -> dict:
     import jax
     import numpy as np
     from fewshot import training
@@ -60,6 +61,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
                  batch_size=32, support_size=5, query_size=5, lr=1e-3,
                  support_mode="mean_state", cell="pallas",
                  support_cache=support_cache, cache_backoff=cache_backoff,
+                 cache_calib=cache_calib, cache_dynamic=cache_dynamic,
                  compute_dtype="bfloat16", eval_episodes=args.eval_episodes,
                  max_steps=args.max_steps, data_parallel=False)
     data = eps.put_corpus(corpus)
@@ -70,7 +72,9 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
 
     leg = {"vocab": len(corpus.vocab), "max_len": corpus.max_len,
            "support_cache": support_cache,
-           **({"cache_backoff": cache_backoff} if support_cache else {}),
+           **({"cache_backoff": cache_backoff,
+               "cache_calib": cache_calib,
+               "cache_dynamic": cache_dynamic} if support_cache else {}),
            "val_artists": int(val_split.size),
            "test_artists": int(test_split.size),
            "base_token_ratio_val": round(ratios["val"], 4),
@@ -178,13 +182,19 @@ def main(argv=None) -> None:
                      "held-out artists (models/unigram.py)",
         },
     }
-    legs = [("plain", "plain", False, "uniform"),
-            ("plain_cache", "plain", True, "uniform"),
-            ("bpe", "bpe", False, "uniform"),
-            ("bpe_cache", "bpe", True, "uniform"),
+    legs = [("plain", "plain", False, "uniform", False, False),
+            ("plain_cache", "plain", True, "uniform", False, False),
+            ("bpe", "bpe", False, "uniform", False, False),
+            ("bpe_cache", "bpe", True, "uniform", False, False),
             # learned Dirichlet backoff toward a global unigram (r3):
-            ("plain_cache_global", "plain", True, "global"),
-            ("bpe_cache_global", "bpe", True, "global")]
+            ("plain_cache_global", "plain", True, "global", False, False),
+            ("bpe_cache_global", "bpe", True, "global", False, False),
+            # count calibration / continuous-cache levers (r3, targeting
+            # the seen-word share of the oracle gap — gap_analysis.json):
+            ("plain_cache_calib", "plain", True, "global", True, False),
+            ("plain_cache_dyn", "plain", True, "global", False, True),
+            ("plain_cache_full", "plain", True, "global", True, True),
+            ("bpe_cache_full", "bpe", True, "global", True, True)]
     if args.legs:
         wanted = set(args.legs.split(","))
         legs = [l for l in legs if l[0] in wanted]
@@ -192,9 +202,10 @@ def main(argv=None) -> None:
         result.update({k: v for k, v in
                        json.loads(Path(args.out).read_text()).items()
                        if k != "protocol"})
-    for tag, sub, cache, backoff in legs:
+    for tag, sub, cache, backoff, calib, dyn in legs:
         result[tag] = run_leg(tag, root / sub, args, support_cache=cache,
-                              cache_backoff=backoff)
+                              cache_backoff=backoff, cache_calib=calib,
+                              cache_dynamic=dyn)
         Path(args.out).write_text(json.dumps(result, indent=1))
 
     # Patch the comparable-NLL fields into the r2 throughput artifact so it

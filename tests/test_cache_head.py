@@ -43,7 +43,8 @@ def test_support_log_cache_matches_numpy_oracle():
     cfg = _cfg()
     v = cfg.vocab_size
     ep = _episode(jax.random.PRNGKey(0), cfg, v)
-    got = np.asarray(lm.support_log_cache(ep.support, ep.support_len, v))
+    got = np.asarray(lm.support_log_cache({}, ep.support, ep.support_len,
+                                          v))
     sup = np.asarray(ep.support)
     slen = np.asarray(ep.support_len)
     for b in range(sup.shape[0]):
@@ -95,8 +96,8 @@ def test_gate_full_matches_cache_only_nll():
     ep = _episode(jax.random.PRNGKey(1), cfg, v)
     total, count = lm.episodic_nll_stats(params, ep, cfg)
 
-    log_cache = np.asarray(lm.support_log_cache(ep.support, ep.support_len,
-                                                v))
+    log_cache = np.asarray(lm.support_log_cache({}, ep.support,
+                                                ep.support_len, v))
     qry, qlen = np.asarray(ep.query), np.asarray(ep.query_len)
     want = 0.0
     n = 0
@@ -190,9 +191,8 @@ def test_global_backoff_init_equals_uniform():
         params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
         assert "cache_prior" in params
         ep = _episode(jax.random.PRNGKey(1), cfg, v)
-        uni = lm.support_log_cache(ep.support, ep.support_len, v)
-        glo = lm.support_log_cache(ep.support, ep.support_len, v,
-                                   prior=params["cache_prior"])
+        uni = lm.support_log_cache({}, ep.support, ep.support_len, v)
+        glo = lm.support_log_cache(params, ep.support, ep.support_len, v)
         np.testing.assert_allclose(np.asarray(glo), np.asarray(uni),
                                    rtol=1e-6)
 
@@ -204,8 +204,8 @@ def test_global_backoff_numpy_oracle():
     ep = _episode(jax.random.PRNGKey(0), cfg, v)
     u = jax.random.normal(jax.random.PRNGKey(7), (v,))
     prior = {"u": u, "log_s": jnp.float32(1.3)}
-    got = np.asarray(lm.support_log_cache(ep.support, ep.support_len, v,
-                                          prior=prior))
+    got = np.asarray(lm.support_log_cache({"cache_prior": prior},
+                                          ep.support, ep.support_len, v))
     sup, slen = np.asarray(ep.support), np.asarray(ep.support_len)
     s = np.exp(1.3)
     eu = np.exp(np.asarray(u) - np.asarray(u).max())
@@ -236,6 +236,133 @@ def test_global_backoff_grads_flow():
     cfg_u = dataclasses.replace(cfg, cache_backoff="uniform")
     params_u = lm.init_lm(jax.random.PRNGKey(0), cfg_u, cfg_u.vocab_size)
     assert "cache_prior" not in params_u
+
+
+def test_cache_calib_init_is_exact_identity():
+    """cache_calib at init (t[c]=log c, top slot extended multiplicatively
+    past CACHE_CALIB_MAX) reproduces the raw-count posterior EXACTLY —
+    including counts above the table size."""
+    cfg = _cfg(cache_calib=True, vocab_size=8, support_size=16, max_len=20)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    assert "cache_calib" in params
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    counts = np.asarray(lm.support_counts(ep.support, ep.support_len, v))
+    assert counts.max() > lm.CACHE_CALIB_MAX  # the regime that matters
+    with_c = lm.support_log_cache(params, ep.support, ep.support_len, v)
+    no_c = lm.support_log_cache(
+        {k: x for k, x in params.items() if k != "cache_calib"},
+        ep.support, ep.support_len, v)
+    np.testing.assert_allclose(np.asarray(with_c), np.asarray(no_c),
+                               rtol=1e-6)
+
+
+def test_cache_calib_grads_flow():
+    cfg = _cfg(cache_calib=True)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    ep = _episode(jax.random.PRNGKey(1), cfg, cfg.vocab_size)
+
+    def loss(p):
+        t, c = lm.episodic_nll_stats(p, ep, cfg)
+        return t / c
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["cache_calib"]["t"]).max()) > 0
+
+
+def test_cache_flags_require_support_cache():
+    for flag in ("cache_calib", "cache_dynamic"):
+        with pytest.raises(ValueError, match="support_cache"):
+            _cfg(support_cache=False, **{flag: True})
+
+
+def test_dynamic_cache_matches_numpy_oracle():
+    """dynamic_cache_target_logp == per-position numpy recount of the
+    query's own masked prefix."""
+    rows, t_, v = 5, 9, 23
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    phi = jax.random.uniform(k[0], (rows, v)) * 3.0
+    total = jnp.sum(phi, axis=-1, keepdims=True)
+    s = jnp.float32(0.7)
+    p_global = jax.nn.softmax(jax.random.normal(k[1], (v,)))
+    targets = jax.random.randint(k[2], (rows, t_), 0, v)
+    mask = jax.random.bernoulli(k[3], 0.8, (rows, t_))
+    got = np.asarray(lm.dynamic_cache_target_logp(phi, total, s, p_global,
+                                                  targets, mask))
+    phi_n, tot_n = np.asarray(phi), np.asarray(total)
+    p_n, tg, m = np.asarray(p_global), np.asarray(targets), np.asarray(mask)
+    for r in range(rows):
+        c = np.zeros(v)
+        plen = 0.0
+        for t in range(t_):
+            w = tg[r, t]
+            want = (np.log(phi_n[r, w] + c[w] + 0.7 * p_n[w])
+                    - np.log(tot_n[r, 0] + plen + 0.7))
+            np.testing.assert_allclose(got[r, t], want, rtol=1e-5)
+            if m[r, t]:
+                c[w] += 1.0
+                plen += 1.0
+
+
+def test_dynamic_gate_full_matches_cache_only_nll():
+    """b=+30 with cache_dynamic: episodic NLL equals scoring each query
+    under support counts + its own running prefix counts (numpy)."""
+    cfg = _cfg(cache_dynamic=True)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_gate"]["b"] = jnp.float32(30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    total, count = lm.episodic_nll_stats(params, ep, cfg)
+
+    sup, slen = np.asarray(ep.support), np.asarray(ep.support_len)
+    qry, qlen = np.asarray(ep.query), np.asarray(ep.query_len)
+    alpha = lm.CACHE_ALPHA
+    want, n = 0.0, 0
+    for b in range(sup.shape[0]):
+        base = np.zeros(v)
+        for k in range(sup.shape[1]):
+            for t in range(1, int(slen[b, k])):
+                base[sup[b, k, t]] += 1
+        for q in range(qry.shape[1]):
+            c = base.copy()
+            plen = c.sum()
+            for t in range(1, int(qlen[b, q])):
+                w = qry[b, q, t]
+                want -= (np.log(c[w] + alpha)
+                         - np.log(plen + alpha * v))
+                c[w] += 1.0
+                plen += 1.0
+                n += 1
+    assert int(count) == n
+    np.testing.assert_allclose(float(total), want, rtol=1e-5)
+
+
+def test_dynamic_sampling_self_reinforces():
+    """Empty support + all-cache gate: the continuous cache feeds emitted
+    tokens back, so the sampler repeats itself far above the uniform
+    rate."""
+    from fewshot import sampling
+    cfg = _cfg(cache_dynamic=True, top_k=0, sample_tokens=24)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_gate"]["b"] = jnp.float32(30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    slen = jnp.ones_like(ep.support_len)          # zero support counts
+    toks = np.asarray(sampling.generate(params, ep.support, slen,
+                                        jax.random.PRNGKey(2), cfg))
+    rep, tot = 0, 0
+    for b in range(toks.shape[0]):
+        seen = set()
+        for t in toks[b]:
+            t = int(t)
+            if t == 0:                            # PAD tail
+                continue
+            if t in seen:
+                rep += 1
+            seen.add(t)
+            tot += 1
+    # uniform-without-feedback repeat rate over 24 draws from 64 ids is
+    # ~16%; the continuous cache at alpha=0.01 drives it far higher
+    assert tot > 0 and rep / tot > 0.5, (rep, tot)
 
 
 def test_global_backoff_sampling_uses_prior():
