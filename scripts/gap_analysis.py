@@ -117,6 +117,8 @@ def main(argv=None) -> None:
     p.add_argument("--steps_per_call", type=int, default=10)
     p.add_argument("--patience", type=int, default=6)
     p.add_argument("--eval_episodes", type=int, default=512)
+    p.add_argument("--cache_calib", action="store_true",
+                   help="decompose the learned count-calibration leg")
     args = p.parse_args(argv)
 
     from fewshot.utils.cache import enable_compilation_cache
@@ -135,6 +137,7 @@ def main(argv=None) -> None:
                  batch_size=32, support_size=5, query_size=5, lr=1e-3,
                  support_mode="mean_state", cell="pallas",
                  support_cache=True, cache_backoff="global",
+                 cache_calib=args.cache_calib,
                  compute_dtype="bfloat16",
                  eval_episodes=args.eval_episodes, max_steps=args.max_steps,
                  data_parallel=False)
@@ -212,6 +215,7 @@ def main(argv=None) -> None:
                     "hyperparams, early stopping), decomposed test eval "
                     "over the same episode sampler; gate = mean "
                     "sigmoid(cache gate) over the bin",
+        "cache_calib": args.cache_calib,
         "best_val_nll": round(best["val"], 4),
         "best_step": best["step"],
         "test_nll_total": round(total_nll / total_cnt, 4),

@@ -31,7 +31,11 @@ def main(argv=None) -> None:
                                            "plain"))
     p.add_argument("--scale_test_json",
                    default=str(REPO / "benchmarks" / "scale_test.json"))
-    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--steps", type=int, default=8000,
+                   help="max steps per leg (early stopping usually ends "
+                        "sooner)")
+    p.add_argument("--eval_every", type=int, default=500)
+    p.add_argument("--patience", type=int, default=5)
     p.add_argument("--eval_episodes", type=int, default=512)
     args = p.parse_args(argv)
 
@@ -56,48 +60,65 @@ def main(argv=None) -> None:
     val_split = jnp.asarray(corpus.splits["val"])
     out = {"steps": args.steps, "corpus": args.corpus}
 
-    # --- device pipeline (fused in-step sampler) --------------------------
-    cfg = Config(**base)
-    tr = jnp.asarray(corpus.splits["train"])
-    step = training.make_train_step(cfg, data, tr)
-    state = training.init_train_state(cfg, len(corpus.vocab))
-    state, m = step(state)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = step(state)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    out["device"] = {
-        "episodes_per_sec": round(args.steps * cfg.batch_size / dt, 1),
-        "final_train_loss": round(float(m["loss"]), 4),
-        "val_nll": round(training.evaluate(
-            cfg, state.params, data, val_split, jax.random.PRNGKey(7)), 4),
-    }
-    print(json.dumps({"device": out["device"]}), flush=True)
+    def leg(tag: str) -> dict:
+        """Train one pipeline leg with early stopping on val NLL; report
+        best val (converged comparison — point-in-time NLL mid-descent is
+        dominated by seed noise)."""
+        if tag == "host":
+            cfg = Config(**{**base, "pipeline": "host"})
+            pipe = HostEpisodePipeline(corpus, "train", cfg.batch_size,
+                                       cfg.support_size, cfg.query_size,
+                                       seed=0)
+            fed = training.make_fed_train_step(cfg)
+            advance = lambda s: fed(s, next(pipe))      # noqa: E731
+        else:
+            cfg = Config(**base)
+            tr = jnp.asarray(corpus.splits["train"])
+            step = training.make_train_step(cfg, data, tr)
+            pipe = None
+            advance = step
+        eval_step = training.make_eval_step(cfg, data, val_split)
+        state = training.init_train_state(cfg, len(corpus.vocab))
+        state, m = advance(state)
+        jax.block_until_ready(m["loss"])
+        best, stale, done = float("inf"), 0, 1
+        best_step = 0
+        t0 = time.perf_counter()
+        train_sec = 0.0
+        curve = []
+        while done < args.steps and stale < args.patience:
+            t1 = time.perf_counter()
+            target = min(done + args.eval_every, args.steps)
+            while done < target:
+                state, m = advance(state)
+                done += 1
+            jax.block_until_ready(m["loss"])
+            train_sec += time.perf_counter() - t1
+            val = training.evaluate(cfg, state.params, data, val_split,
+                                    jax.random.PRNGKey(7),
+                                    num_episodes=args.eval_episodes,
+                                    eval_step=eval_step)
+            curve.append({"step": done, "val_nll": round(val, 4)})
+            if val < best - 1e-4:
+                best, best_step, stale = val, done, 0
+            else:
+                stale += 1
+        if pipe is not None:
+            pipe.close()
+        return {
+            "episodes_per_sec": round(done * cfg.batch_size / train_sec, 1),
+            "steps_trained": done,
+            "best_val_nll": round(best, 4),
+            "best_step": best_step,
+            "final_train_loss": round(float(m["loss"]), 4),
+            "curve": curve,
+        }
 
-    # --- host pipeline (streaming prefetch, fed episodes) -----------------
-    cfg = Config(**{**base, "pipeline": "host"})
-    pipe = HostEpisodePipeline(corpus, "train", cfg.batch_size,
-                               cfg.support_size, cfg.query_size, seed=0)
-    fed = training.make_fed_train_step(cfg)
-    state = training.init_train_state(cfg, len(corpus.vocab))
-    state, m = fed(state, next(pipe))
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, m = fed(state, next(pipe))
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    pipe.close()
-    out["host"] = {
-        "episodes_per_sec": round(args.steps * cfg.batch_size / dt, 1),
-        "final_train_loss": round(float(m["loss"]), 4),
-        "val_nll": round(training.evaluate(
-            cfg, state.params, data, val_split, jax.random.PRNGKey(7)), 4),
-    }
+    out["device"] = leg("device")
+    print(json.dumps({"device": out["device"]}), flush=True)
+    out["host"] = leg("host")
     out["val_nll_gap_host_minus_device"] = round(
-        out["host"]["val_nll"] - out["device"]["val_nll"], 4)
+        out["host"]["best_val_nll"] - out["device"]["best_val_nll"], 4)
     print(json.dumps({"host": out["host"]}), flush=True)
 
     st_path = Path(args.scale_test_json)
