@@ -60,6 +60,17 @@ class Config:
                                      # of the cache posterior (phi(c)
                                      # table, init identity) — see
                                      # lm.cache_posterior_parts
+    cache_calib_freq: bool = False   # frequency-aware calibration: a
+                                     # learned per-count-level slope on
+                                     # the word's log global frequency
+                                     # (from the backoff unigram), so
+                                     # same-count words are discounted/
+                                     # boosted by how surprising the
+                                     # count is (signature vs common
+                                     # words — benchmarks/bayes_bound.json
+                                     # shows the Bayes predictive uses
+                                     # exactly this signal).  Requires
+                                     # cache_calib + cache_backoff=global
     cache_dynamic: bool = False      # continuous cache: add the query's
                                      # own autoregressive prefix counts
                                      # to the posterior (NLL and sampling)
@@ -156,6 +167,12 @@ class Config:
             raise ValueError(
                 "config: cache_calib/cache_dynamic require "
                 "support_cache: true (they modify the cache posterior)")
+        if self.cache_calib_freq and not (
+                self.cache_calib and self.cache_backoff == "global"):
+            raise ValueError(
+                "config: cache_calib_freq requires cache_calib: true and "
+                "cache_backoff: global (the frequency feature is the "
+                "learned backoff unigram)")
         if self.steps_per_call > 1:
             # chunked dispatch can only log/eval/checkpoint on chunk
             # boundaries — intervals must align

@@ -80,6 +80,18 @@ def init_lm(key: jax.Array, cfg, vocab_size: int) -> dict:
                 "t": jnp.log(jnp.arange(1, CACHE_CALIB_MAX + 1,
                                         dtype=jnp.float32)),
             }
+            if cfg.cache_calib_freq:
+                # Frequency-aware calibration: phi(c, w) = exp(t[c] +
+                # a[c] * log(V * p_global(w))).  a=0 at init (and the
+                # feature itself is 0 while u=0), so init is still the
+                # exact identity.  The Bayes predictive of the corpus
+                # generator discounts a count by how UNsurprising it is
+                # under the word's global rate (a common word seen twice
+                # is probably noise; a rare word seen twice is artist
+                # signature) — benchmarks/bayes_bound.json measures that
+                # signal worth ~0.08 nats at K=5.
+                params["cache_calib"]["a"] = jnp.zeros(
+                    (CACHE_CALIB_MAX,), jnp.float32)
     return params
 
 
@@ -334,31 +346,47 @@ def cache_posterior_parts(params: dict, support: jax.Array,
       Bayes posterior E[p|count] of the true generator is not
       proportional to c (benchmarks/gap_analysis.json: two-thirds of the
       oracle gap sits on seen-word calibration), and a free monotone-free
-      table lets SGD find the mapping instead of hand-deriving it.
+      table lets SGD find the mapping instead of hand-deriving it.  With
+      cfg.cache_calib_freq a learned per-count-level slope a[c] on the
+      word's centered log global frequency joins the exponent, letting
+      the same count mean different things for rare vs common words
+      (the signal the K-shot Bayes bound exploits —
+      benchmarks/bayes_bound.json).
     - (s, p_global) = uniform CACHE_ALPHA pseudo-counts, or the learned
       Dirichlet backoff (params["cache_prior"], cfg.cache_backoff=global).
     """
     counts = support_counts(support, support_len, vocab_size)
-    calib = params.get("cache_calib")
-    if calib is None:
-        phi = counts
-    else:
-        # Counts past the table extend the top slot multiplicatively
-        # (phi = exp(t[MAX-1]) * c/MAX), so init (t[c]=log(c)) is the
-        # EXACT identity phi(c)=c for every c, not just c<=MAX.
-        idx = jnp.clip(counts.astype(jnp.int32) - 1, 0, CACHE_CALIB_MAX - 1)
-        c_cap = jnp.clip(counts, 1.0, float(CACHE_CALIB_MAX))
-        phi = jnp.where(counts > 0,
-                        jnp.exp(calib["t"].astype(jnp.float32)[idx])
-                        * (counts / c_cap), 0.0)
-    total = jnp.sum(phi, axis=-1, keepdims=True)
     prior = params.get("cache_prior")
     if prior is None:
         s = jnp.float32(CACHE_ALPHA * vocab_size)
         p_global = jnp.full((vocab_size,), 1.0 / vocab_size, jnp.float32)
+        log_pg = jnp.full((vocab_size,), -jnp.log(jnp.float32(vocab_size)))
     else:
         s = jnp.exp(prior["log_s"].astype(jnp.float32))
-        p_global = jax.nn.softmax(prior["u"].astype(jnp.float32))
+        log_pg = jax.nn.log_softmax(prior["u"].astype(jnp.float32))
+        p_global = jnp.exp(log_pg)
+    calib = params.get("cache_calib")
+    if calib is None:
+        phi = counts
+    else:
+        # Counts past the table extend the last slot multiplicatively
+        # (phi = exp(t[MAX-1]) * c/MAX), so init (t[c]=log(c)) is the
+        # EXACT identity phi(c)=c for every c, not just c<=MAX.
+        idx = jnp.clip(counts.astype(jnp.int32) - 1, 0, CACHE_CALIB_MAX - 1)
+        c_cap = jnp.clip(counts, 1.0, float(CACHE_CALIB_MAX))
+        log_phi = calib["t"].astype(jnp.float32)[idx]
+        if "a" in calib:
+            # cfg.cache_calib_freq: per-count-level slope on the word's
+            # log global frequency, centered so x=0 for a uniform
+            # backoff (init) — see init_lm.  stop_gradient keeps u
+            # trained purely as the backoff distribution; here it is a
+            # feature, not a branch of the mixture.
+            x = jax.lax.stop_gradient(
+                jnp.log(jnp.float32(vocab_size)) + log_pg)       # [V]
+            log_phi = log_phi + calib["a"].astype(jnp.float32)[idx] * x
+        phi = jnp.where(counts > 0,
+                        jnp.exp(log_phi) * (counts / c_cap), 0.0)
+    total = jnp.sum(phi, axis=-1, keepdims=True)
     return phi, total, s, p_global
 
 

