@@ -46,7 +46,8 @@ def _live_manager(ckpt_dir: Path) -> ocp.CheckpointManager:
 # meta.json at save; compared (warn, not fail) at restore.
 SEMANTIC_HPARAMS = ("model", "num_heads", "support_mode", "cell",
                     "tie_embeddings", "dataset", "support_cache",
-                    "cache_backoff", "cache_calib", "cache_dynamic")
+                    "cache_backoff", "cache_calib", "cache_calib_freq",
+                    "cache_dynamic")
 
 
 def hparams_of(cfg) -> dict:
