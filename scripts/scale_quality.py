@@ -43,7 +43,8 @@ def base_ratio(corpus, split: str) -> float:
     return float(bpe_t) / max(float(base_t), 1.0)
 
 
-def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
+def run_leg(tag: str, corpus_dir: Path, args, model: str = "lstm",
+            support_cache: bool = False,
             cache_backoff: str = "uniform", cache_calib: bool = False,
             cache_dynamic: bool = False,
             cache_calib_freq: bool = False) -> dict:
@@ -60,6 +61,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
     cfg = Config(vocab_size=len(corpus.vocab), max_len=corpus.max_len,
                  embed_dim=256, hidden_dim=512, num_layers=2,
                  batch_size=32, support_size=5, query_size=5, lr=1e-3,
+                 model=model,
                  support_mode="mean_state", cell="pallas",
                  support_cache=support_cache, cache_backoff=cache_backoff,
                  cache_calib=cache_calib, cache_dynamic=cache_dynamic,
@@ -73,6 +75,7 @@ def run_leg(tag: str, corpus_dir: Path, args, support_cache: bool = False,
     ratios = {s: base_ratio(corpus, s) for s in ("val", "test")}
 
     leg = {"vocab": len(corpus.vocab), "max_len": corpus.max_len,
+           "model": model,
            "support_cache": support_cache,
            **({"cache_backoff": cache_backoff,
                "cache_calib": cache_calib,
@@ -173,7 +176,9 @@ def main(argv=None) -> None:
     result = {
         "protocol": {
             "corpus": str(root),
-            "model": "lstm E=256 H=512 L=2 bf16 pallas mean_state",
+            "model": "per-leg (default lstm E=256 H=512 L=2 bf16 pallas "
+                     "mean_state; tfm legs: transformer E=256 L=2 nh=2 "
+                     "prefix-KV mean_state)",
             "batch": "B=32 K=5 Q=5",
             "early_stopping": f"patience {args.patience} x "
                               f"{args.eval_every}-step evals on val NLL, "
@@ -206,18 +211,27 @@ def main(argv=None) -> None:
             ("plain_cache_freq", "plain", True, "global", True, True,
              True),
             ("bpe_cache_freq", "bpe", True, "global", True, True, True)]
+    legs = [dict(zip(("tag", "sub", "support_cache", "cache_backoff",
+                      "cache_calib", "cache_dynamic", "cache_calib_freq"),
+                     l)) for l in legs]
+    # the second model family at the canonical scale (r3): the episodic
+    # transformer (prefix-KV attention, wide heads), bare and with the
+    # best cache stack the LSTM legs found
+    legs += [dict(tag="tfm", sub="plain", model="transformer"),
+             dict(tag="tfm_cache_full", sub="plain", model="transformer",
+                  support_cache=True, cache_backoff="global",
+                  cache_calib=True, cache_dynamic=True)]
     if args.legs:
         wanted = set(args.legs.split(","))
-        legs = [l for l in legs if l[0] in wanted]
+        legs = [l for l in legs if l["tag"] in wanted]
     if Path(args.out).exists() and args.keep_existing:
         result.update({k: v for k, v in
                        json.loads(Path(args.out).read_text()).items()
                        if k != "protocol"})
-    for tag, sub, cache, backoff, calib, dyn, *freq in legs:
-        result[tag] = run_leg(tag, root / sub, args, support_cache=cache,
-                              cache_backoff=backoff, cache_calib=calib,
-                              cache_dynamic=dyn,
-                              cache_calib_freq=bool(freq and freq[0]))
+    for leg in legs:
+        leg = dict(leg)
+        tag, sub = leg.pop("tag"), leg.pop("sub")
+        result[tag] = run_leg(tag, root / sub, args, **leg)
         Path(args.out).write_text(json.dumps(result, indent=1))
 
     # Patch the comparable-NLL fields into the r2 throughput artifact so it
