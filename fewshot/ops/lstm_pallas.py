@@ -44,6 +44,17 @@ FORGET_BIAS = 1.0
 # test; on-chip parity lives in scripts/tpu_checks.py.
 _INTERPRET = bool(os.environ.get("FEWSHOT_PALLAS_INTERPRET"))
 
+# Experiment knob (ROADMAP r4 #4): FEWSHOT_LSTM_GATES_INT8=1 stores the
+# saved gate activations int8 instead of bf16.  The BPTT backward streams
+# gates(4H)+cs(2H)+dys(H)+dzx(4H) per row-step and sits near the HBM
+# bandwidth floor at the flagship shape (benchmarks/step_profile.json), so
+# halving the gate stream trims ~18% of its bytes.  Gates are affine-coded
+# to [-1, 1] (sigmoids s -> 2s-1, tanh j as-is) at q = round(g*127):
+# dequant error <= 1/254 absolute per gate, a ~0.4% multiplicative noise
+# on the backward deltas — acceptable for Adam but convergence-gated
+# (benchmarks/gates_int8.json records parity + convergence + throughput).
+_GATES_INT8 = bool(os.environ.get("FEWSHOT_LSTM_GATES_INT8"))
+
 
 def _batch_tile(b: int, hidden: int = 0, itemsize: int = 4) -> int:
     """Largest divisor of b (<= 256) whose per-tile VMEM footprint fits.
@@ -136,8 +147,16 @@ def _fwd_kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,
         if gates_ref is not None:
             # train mode: save gate ACTIVATIONS so the backward kernel
             # skips the z-recompute matmul (its serial MXU work halves)
-            gates_ref[i] = jnp.concatenate([si, tj, sf, so],
-                                           axis=-1).astype(gates_ref.dtype)
+            if gates_ref.dtype == jnp.int8:
+                # affine-code every gate to [-1, 1] (sigmoids s -> 2s-1;
+                # tanh j is already there), q = round(g * 127)
+                coded = jnp.concatenate(
+                    [2.0 * si - 1.0, tj, 2.0 * sf - 1.0, 2.0 * so - 1.0],
+                    axis=-1)
+                gates_ref[i] = jnp.round(coded * 127.0).astype(jnp.int8)
+            else:
+                gates_ref[i] = jnp.concatenate(
+                    [si, tj, sf, so], axis=-1).astype(gates_ref.dtype)
         m = mask_ref[i]
         h = jnp.where(m > 0, new_h, h)
         c = jnp.where(m > 0, new_c, c)
@@ -176,8 +195,12 @@ def _fwd_call(zx, wh, b, mask, h0, c0, save_gates: bool = False):
     ]
     kernel = _fwd_kernel
     if save_gates:
+        # int8 experiment: Mosaic's int8 layout wants >=32 sublanes per
+        # tile; bt is a multiple of 8 by construction, so gate the coded
+        # path on the stricter alignment and fall back to the stream dtype
+        gt = (jnp.int8 if _GATES_INT8 and bt % 32 == 0 else st)
         out_specs.append(pl.BlockSpec((u, bt, four_h), step3, **kw))
-        out_shape.append(jax.ShapeDtypeStruct((t_, b_, four_h), st))
+        out_shape.append(jax.ShapeDtypeStruct((t_, b_, four_h), gt))
 
         def kernel(zx_ref, wh_ref, b_ref, mask_ref, h0_ref, c0_ref,  # noqa
                    ys_ref, cs_ref, hT_ref, cT_ref, gates_ref,
@@ -257,10 +280,18 @@ def _bwd_kernel(gates_ref, wh_ref, mask_ref, cprev_ref, cs_ref,
                                cprev_ref[u - 1].astype(jnp.float32))
 
         g = gates_ref[i].astype(jnp.float32)
-        si = g[:, :hidden]
-        tj = g[:, hidden:2 * hidden]
-        sf = g[:, 2 * hidden:3 * hidden]
-        so = g[:, 3 * hidden:]
+        if gates_ref.dtype == jnp.int8:
+            # dequant the affine [-1, 1] code (see _fwd_kernel)
+            g = g * (1.0 / 127.0)
+            si = (g[:, :hidden] + 1.0) * 0.5
+            tj = g[:, hidden:2 * hidden]
+            sf = (g[:, 2 * hidden:3 * hidden] + 1.0) * 0.5
+            so = (g[:, 3 * hidden:] + 1.0) * 0.5
+        else:
+            si = g[:, :hidden]
+            tj = g[:, hidden:2 * hidden]
+            sf = g[:, 2 * hidden:3 * hidden]
+            so = g[:, 3 * hidden:]
         tc = jnp.tanh(cs_ref[i].astype(jnp.float32))
 
         dh = dys_ref[i].astype(jnp.float32) + dh_c
@@ -304,7 +335,7 @@ def _bwd_call(gates, wh, mask, cs, c0, dys, dhT, dcT):
     t_, b_, four_h = gates.shape
     hidden = four_h // 4
     f32 = jnp.float32
-    st = gates.dtype
+    st = dys.dtype                # NOT gates.dtype: gates may be int8
     bt, u = _tiles(b_, t_, hidden, jnp.dtype(st).itemsize)
     n_c = t_ // u
     kw = dict(memory_space=pltpu.VMEM)

@@ -97,6 +97,61 @@ print("OK")
         out.stdout[-2000:] + out.stderr[-2000:]
 
 
+def test_gates_int8_interpret_parity_subprocess():
+    """FEWSHOT_LSTM_GATES_INT8=1 (ROADMAP r4 #4): the saved-gates stream is
+    affine-coded int8.  Forward must be BIT-identical (gates are a backward
+    residual only); backward grads carry bounded dequant noise (<=1/254 per
+    gate) — asserted loose vs the exact-gates custom VJP."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.models import lstm as L
+from fewshot.ops import lstm_pallas as P
+
+assert P._GATES_INT8
+b, t, e, h = 32, 12, 16, 128          # b=32 -> bt=32, int8 tile-aligned
+params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, 1)
+x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+lens = jnp.asarray(np.random.RandomState(0).randint(1, t + 1, b))
+mask = jnp.arange(t) < lens[:, None]
+h0c0 = L.zero_state(b, h, 1)[0]
+
+def loss(fn, p):
+    ys, (hh, cc) = fn(p, x, mask, h0c0, jnp.float32)
+    return jnp.sum(ys ** 2) + jnp.sum(hh * cc)
+
+ys_q, _ = P.lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+gq = jax.grad(lambda p: loss(P.lstm_layer_pallas, p))(params[0])
+P._GATES_INT8 = False
+ys_x, _ = P.lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+gx = jax.grad(lambda p: loss(P.lstm_layer_pallas, p))(params[0])
+gr = jax.grad(lambda p: loss(L._layer_scan, p))(params[0])
+
+assert float(jnp.abs(ys_q - ys_x).max()) == 0.0, "fwd must not change"
+for k in gx:
+    scale = float(np.abs(np.asarray(gr[k])).max()) + 1e-12
+    err_q = float(jnp.abs(gq[k] - gr[k]).max()) / scale
+    err_x = float(jnp.abs(gx[k] - gr[k]).max()) / scale
+    assert err_x < 1e-4, (k, err_x)
+    assert err_q < 3e-2, (k, err_q)          # bounded dequant noise
+    assert err_q > 0.0, k                    # the int8 path actually ran
+print("OK")
+"""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1",
+               FEWSHOT_LSTM_GATES_INT8="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
 def test_fused_stack_interpret_parity_subprocess():
     """Fused MULTI-LAYER kernel (fewshot/ops/lstm_fused.py) vs the scan
     stack: fwd, final states, and grads wrt params/x/initial state, with
