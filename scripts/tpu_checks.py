@@ -102,6 +102,49 @@ def micro_bench(b=160, t=255, e=256, h=512, iters=20) -> None:
               flush=True)
 
 
+def gates_int8_parity(shapes) -> bool:
+    """On-chip: int8 saved-gates (FEWSHOT_LSTM_GATES_INT8) vs exact gates.
+
+    Forward must be bit-identical (gates are a backward-only residual);
+    grads vs the scan path carry bounded dequant noise (<=1/254 per gate)."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.models import lstm as L
+    from fewshot.ops import lstm_pallas as P
+
+    ok = True
+    for (b, t, e, h) in shapes:
+        params = L.init_lstm_params(jax.random.PRNGKey(0), e, h, 1)
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, t, e))
+        lens = jnp.asarray(np.random.RandomState(0).randint(1, t + 1, b))
+        mask = jnp.arange(t) < lens[:, None]
+        h0c0 = L.zero_state(b, h, 1)[0]
+
+        def loss(fn, p):
+            ys, (hh, cc) = fn(p, x, mask, h0c0, jnp.float32)
+            return jnp.sum(ys ** 2) + jnp.sum(hh * cc)
+
+        saved = P._GATES_INT8
+        try:
+            P._GATES_INT8 = True
+            ys_q, _ = P.lstm_layer_pallas(params[0], x, mask, h0c0,
+                                          jnp.float32)
+            gq = jax.grad(lambda p: loss(P.lstm_layer_pallas, p))(params[0])
+        finally:
+            P._GATES_INT8 = saved
+        ys_x, _ = P.lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+        gr = jax.grad(lambda p: loss(L._layer_scan, p))(params[0])
+        fwd = float(jnp.abs(ys_q - ys_x).max())
+        rel = max(float(jnp.abs(gq[k] - gr[k]).max())
+                  / (float(np.abs(np.asarray(gr[k])).max()) + 1e-12)
+                  for k in gr)
+        good = fwd == 0.0 and rel < 3e-2
+        ok &= good
+        print(f"gates-int8 B={b} T={t} H={h}: fwd_err={fwd:.1e} "
+              f"grad_rel={rel:.2e} {'OK' if good else 'FAIL'}", flush=True)
+    return ok
+
+
 def stack_parity(shapes) -> bool:
     """On-chip parity: fused multi-layer kernel vs the scan stack."""
     import jax
@@ -359,6 +402,7 @@ def main(argv=None) -> None:
     if not args.bench:
         ok = parity([(4, 12, 16, 128), (24, 9, 16, 128),
                      (160, 32, 256, 512)])
+        ok &= gates_int8_parity([(32, 12, 16, 128), (160, 32, 256, 512)])
         ok &= stack_parity([(4, 12, 16, 128, 2), (160, 32, 256, 512, 2),
                             (8, 9, 16, 128, 3)])
         ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),
