@@ -156,3 +156,23 @@ def test_seed_reproducible_regardless_of_batching(server):
     assert got["continuations"][0]["text"] == ref["continuations"][0]["text"]
     assert got["continuations"][0]["artist"] == \
         ref["continuations"][0]["artist"]
+
+
+def test_serve_cache_head_model(tiny_corpus):
+    """The flagship quality config (full neural-cache posterior stack) is
+    servable: the decode loop mixes the support posterior per step (static
+    and continuous-cache forms) and still returns valid ids."""
+    import dataclasses
+    for dyn in (False, True):
+        cfg = dataclasses.replace(
+            CFG, support_cache=True, cache_backoff="global",
+            cache_calib=True, cache_calib_freq=True, cache_dynamic=dyn)
+        state = training.init_train_state(cfg, len(tiny_corpus.vocab))
+        gen = Generator(cfg, tiny_corpus, state.params, batch_size=4)
+        outs = gen.generate(num=2, split="train", episode_seed=3)
+        assert len(outs) == 2
+        for rec in outs:
+            assert isinstance(rec["text"], str)
+        # fixed seed -> reproducible under the cache head too
+        again = gen.generate(num=2, split="train", episode_seed=3)
+        assert [r["text"] for r in outs] == [r["text"] for r in again]
