@@ -197,18 +197,16 @@ def train_main(argv=None) -> None:
 
 
 def _print_base_token_nll(cfg, corpus, split: str, nll: float,
-                          prefix: str) -> None:
+                          prefix: str, song_ids=None) -> None:
     """BPE-token NLL isn't comparable to base-token NLL; rescale by the
-    split-level compression ratio (exact in expectation over episodes)."""
+    compression ratio (exact in expectation over episodes) — over the
+    split's song pool, or over the exact scored songs when given."""
     if not (corpus.merges and corpus.base_song_len is not None):
         return
-    from fewshot.data import episodes as eps
-    pool = eps.split_song_pool(corpus, split)
-    bpe_targets = np.maximum(corpus.song_len[pool] - 1, 0).sum()
-    base_targets = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
-    ratio = float(bpe_targets) / max(float(base_targets), 1.0)
+    ratio = eps.base_token_ratio(corpus, split, song_ids=song_ids)
+    scope = "set" if song_ids is not None else "split"
     print(f"{prefix}_nll_per_base_token={nll * ratio:.6f} "
-          f"(split compression ratio {ratio:.3f})", flush=True)
+          f"({scope} compression ratio {ratio:.3f})", flush=True)
 
 
 def evaluate_main(argv=None) -> None:
@@ -272,8 +270,11 @@ def evaluate_main(argv=None) -> None:
         print(f"eval_set_nll_per_token={nll:.6f} "
               f"({len(ids)} fixed episodes from {args.eval_set})",
               flush=True)
+        # rescale over the SET's own query songs, not the --split pool —
+        # the set may come from a different split than --split defaults to
         _print_base_token_nll(cfg, corpus, args.split, nll,
-                              prefix="eval_set")
+                              prefix="eval_set",
+                              song_ids=np.asarray(ids)[:, k:].ravel())
         if not args.also_split_eval:
             # One invocation, one advertised result: the random-split eval
             # is a SECOND, different metric and runs only on request

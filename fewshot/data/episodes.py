@@ -169,6 +169,24 @@ def split_song_pool(corpus, split: str) -> np.ndarray:
     return np.nonzero(mask)[0].astype(np.int32)
 
 
+def base_token_ratio(corpus, split: str | None = None,
+                     song_ids: np.ndarray | None = None) -> float:
+    """targets(bpe)/targets(base) — the NLL-per-base-token rescale.
+
+    BPE-token NLL isn't comparable to base-token NLL; multiplying by this
+    ratio converts it (exact in expectation over episodes).  Computed over
+    a split's whole song pool, or over explicit `song_ids` (e.g. a fixed
+    eval set's query songs).  1.0 for non-BPE corpora.  Single source for
+    fewshot/cli.py and the benchmark scripts."""
+    if not (corpus.merges and corpus.base_song_len is not None):
+        return 1.0
+    pool = song_ids if song_ids is not None else split_song_pool(corpus,
+                                                                 split)
+    bpe_t = np.maximum(corpus.song_len[pool] - 1, 0).sum()
+    base_t = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
+    return float(bpe_t) / max(float(base_t), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Fixed episode sets: continuous-eval harness (ROADMAP r1 #5)
 # ---------------------------------------------------------------------------

@@ -32,15 +32,11 @@ sys.path.insert(0, str(REPO))
 
 
 def base_ratio(corpus, split: str) -> float:
-    """targets(bpe)/targets(base) over a split pool — the NLL rescale."""
-    import numpy as np
-    from fewshot.data import episodes as eps
-    if not (corpus.merges and corpus.base_song_len is not None):
-        return 1.0
-    pool = eps.split_song_pool(corpus, split)
-    bpe_t = np.maximum(corpus.song_len[pool] - 1, 0).sum()
-    base_t = np.maximum(corpus.base_song_len[pool] - 1, 0).sum()
-    return float(bpe_t) / max(float(base_t), 1.0)
+    """targets(bpe)/targets(base) over a split pool — the NLL rescale
+    (shim over the single-source helper; scripts/midi_scale.py imports
+    this name)."""
+    from fewshot.data.episodes import base_token_ratio
+    return base_token_ratio(corpus, split)
 
 
 def run_leg(tag: str, corpus_dir: Path, args, model: str = "lstm",
@@ -191,36 +187,38 @@ def main(argv=None) -> None:
                      "held-out artists (models/unigram.py)",
         },
     }
-    legs = [("plain", "plain", False, "uniform", False, False),
-            ("plain_cache", "plain", True, "uniform", False, False),
-            ("bpe", "bpe", False, "uniform", False, False),
-            ("bpe_cache", "bpe", True, "uniform", False, False),
-            # learned Dirichlet backoff toward a global unigram (r3):
-            ("plain_cache_global", "plain", True, "global", False, False),
-            ("bpe_cache_global", "bpe", True, "global", False, False),
-            # count calibration / continuous-cache levers (r3, targeting
-            # the seen-word share of the oracle gap — gap_analysis.json):
-            ("plain_cache_calib", "plain", True, "global", True, False),
-            ("plain_cache_dyn", "plain", True, "global", False, True),
-            ("plain_cache_full", "plain", True, "global", True, True),
-            ("bpe_cache_full", "bpe", True, "global", True, True),
-            # frequency-aware count calibration (r3, targeting the
-            # seen-word share of the achievable Bayes bound —
-            # benchmarks/bayes_bound.json): full stack + a[c] slope on
-            # the word's log global frequency
-            ("plain_cache_freq", "plain", True, "global", True, True,
-             True),
-            ("bpe_cache_freq", "bpe", True, "global", True, True, True)]
-    legs = [dict(zip(("tag", "sub", "support_cache", "cache_backoff",
-                      "cache_calib", "cache_dynamic", "cache_calib_freq"),
-                     l)) for l in legs]
-    # the second model family at the canonical scale (r3): the episodic
-    # transformer (prefix-KV attention, wide heads), bare and with the
-    # best cache stack the LSTM legs found
-    legs += [dict(tag="tfm", sub="plain", model="transformer"),
-             dict(tag="tfm_cache_full", sub="plain", model="transformer",
-                  support_cache=True, cache_backoff="global",
-                  cache_calib=True, cache_dynamic=True)]
+    cache_g = dict(support_cache=True, cache_backoff="global")
+    full = dict(**cache_g, cache_calib=True, cache_dynamic=True)
+    legs = [
+        dict(tag="plain", sub="plain"),
+        dict(tag="plain_cache", sub="plain", support_cache=True),
+        dict(tag="bpe", sub="bpe"),
+        dict(tag="bpe_cache", sub="bpe", support_cache=True),
+        # learned Dirichlet backoff toward a global unigram (r3):
+        dict(tag="plain_cache_global", sub="plain", **cache_g),
+        dict(tag="bpe_cache_global", sub="bpe", **cache_g),
+        # count calibration / continuous-cache levers (r3, targeting
+        # the seen-word share of the oracle gap — gap_analysis.json):
+        dict(tag="plain_cache_calib", sub="plain", **cache_g,
+             cache_calib=True),
+        dict(tag="plain_cache_dyn", sub="plain", **cache_g,
+             cache_dynamic=True),
+        dict(tag="plain_cache_full", sub="plain", **full),
+        dict(tag="bpe_cache_full", sub="bpe", **full),
+        # frequency-aware count calibration (r3, targeting the seen-word
+        # share of the achievable Bayes bound — bayes_bound.json): full
+        # stack + a[c] slope on the word's log global frequency
+        dict(tag="plain_cache_freq", sub="plain", **full,
+             cache_calib_freq=True),
+        dict(tag="bpe_cache_freq", sub="bpe", **full,
+             cache_calib_freq=True),
+        # the second model family at the canonical scale (r3): the
+        # episodic transformer (prefix-KV attention, wide heads), bare
+        # and with the best cache stack the LSTM legs found
+        dict(tag="tfm", sub="plain", model="transformer"),
+        dict(tag="tfm_cache_full", sub="plain", model="transformer",
+             **full),
+    ]
     if args.legs:
         wanted = set(args.legs.split(","))
         legs = [l for l in legs if l["tag"] in wanted]

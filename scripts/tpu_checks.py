@@ -133,15 +133,20 @@ def gates_int8_parity(shapes) -> bool:
         finally:
             P._GATES_INT8 = saved
         ys_x, _ = P.lstm_layer_pallas(params[0], x, mask, h0c0, jnp.float32)
+        gx = jax.grad(lambda p: loss(P.lstm_layer_pallas, p))(params[0])
         gr = jax.grad(lambda p: loss(L._layer_scan, p))(params[0])
         fwd = float(jnp.abs(ys_q - ys_x).max())
         rel = max(float(jnp.abs(gq[k] - gr[k]).max())
                   / (float(np.abs(np.asarray(gr[k])).max()) + 1e-12)
                   for k in gr)
-        good = fwd == 0.0 and rel < 3e-2
+        # the int8 path must have actually engaged (bt % 32 == 0 at the
+        # chosen shapes): its grads must DIFFER from the exact-gates path
+        ran = max(float(jnp.abs(gq[k] - gx[k]).max()) for k in gq) > 0.0
+        good = fwd == 0.0 and rel < 3e-2 and ran
         ok &= good
         print(f"gates-int8 B={b} T={t} H={h}: fwd_err={fwd:.1e} "
-              f"grad_rel={rel:.2e} {'OK' if good else 'FAIL'}", flush=True)
+              f"grad_rel={rel:.2e} int8_ran={ran} "
+              f"{'OK' if good else 'FAIL'}", flush=True)
     return ok
 
 
@@ -402,7 +407,9 @@ def main(argv=None) -> None:
     if not args.bench:
         ok = parity([(4, 12, 16, 128), (24, 9, 16, 128),
                      (160, 32, 256, 512)])
-        ok &= gates_int8_parity([(32, 12, 16, 128), (160, 32, 256, 512)])
+        # shapes chosen so _batch_tile is 32-aligned (f32 compute: b=160
+        # would tile at bt=80 and silently skip the int8 path)
+        ok &= gates_int8_parity([(32, 12, 16, 128), (128, 32, 256, 512)])
         ok &= stack_parity([(4, 12, 16, 128, 2), (160, 32, 256, 512, 2),
                             (8, 9, 16, 128, 3)])
         ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),

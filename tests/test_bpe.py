@@ -177,3 +177,26 @@ def test_evaluate_reports_base_token_nll(tmp_path, capsys):
     assert ratio < 1.0                    # BPE compressed the stream
     # ratio printed at 3 decimals; recomputation tolerance accordingly
     assert abs(base - nll * ratio) < 5e-3
+
+
+def test_base_token_ratio_set_vs_split(tmp_path):
+    """base_token_ratio over explicit song_ids scores exactly those songs
+    (the --eval_set rescale must use the set's own query songs, not the
+    --split pool — r3 review finding)."""
+    import numpy as np
+    from fewshot.data import episodes as eps
+    generate_midi_corpus(tmp_path / "mid", num_artists=6,
+                         songs_per_artist=6, seed=0)
+    corpus = build_midi_corpus(tmp_path / "mid", tmp_path / "corpus",
+                               max_len=0, bpe_merges=40)
+    pool = eps.split_song_pool(corpus, "train")
+    full = eps.base_token_ratio(corpus, "train")
+    assert full == eps.base_token_ratio(corpus, song_ids=pool)
+    # a strict subset generally has a different ratio; verify against a
+    # direct recount
+    sub = pool[: max(2, len(pool) // 3)]
+    got = eps.base_token_ratio(corpus, song_ids=sub)
+    want = (np.maximum(corpus.song_len[sub] - 1, 0).sum()
+            / np.maximum(corpus.base_song_len[sub] - 1, 0).sum())
+    assert abs(got - float(want)) < 1e-12
+    assert 0.0 < got < 1.0
