@@ -46,7 +46,35 @@ def ensure_corpus():
                                    max_len=0, seed=0)
 
 
+def wait_for_device(max_wait_s: int = 1800) -> None:
+    """Ride out transient TPU-tunnel outages (bounded).
+
+    The axon relay occasionally reports UNAVAILABLE for a stretch (observed
+    multi-hour outages); a failed backend init is cached for the process
+    lifetime, so probe in SUBPROCESSES until one sees the device, then let
+    the real import proceed.  No-op when the device is healthy (~2s)."""
+    import subprocess
+    import sys
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((8, 8)); print(float((x @ x).sum()))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=600)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print("bench: device still unavailable after "
+                  f"{max_wait_s}s of probing", file=sys.stderr)
+            return     # let the real run surface the actual error
+        time.sleep(60)
+
+
 def main() -> None:
+    wait_for_device()
     import jax
     from fewshot.utils.cache import enable_compilation_cache
     enable_compilation_cache()
