@@ -6,7 +6,9 @@ lyrics corpus and emit the CSV the Loader consumes.  This sandbox has ZERO
 network egress (SURVEY.md §0), so live scraping is gated: with --url-list the
 script fetches and parses pages if the network allows; otherwise use
 --from-dir to assemble the CSV from local per-artist text files, or
-scripts/prepare_data.py --synthetic for a generated corpus.
+scripts/prepare_data.py --synthetic for a generated corpus.  Both halves are
+tested: the live fetch/parse path against a loopback HTTP fixture server
+(tests/test_scrapers.py), so only the egress itself is unexercised here.
 
 Local layout for --from-dir (one file per song):
     <root>/<artist name>/<song name>.txt

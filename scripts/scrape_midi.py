@@ -6,7 +6,9 @@ downloads per-artist MIDI files.  No network egress exists in this sandbox
 (SURVEY.md §0), so fetching is gated behind --url-list; --from-dir organizes
 an existing flat collection into the per-artist layout the tokenizer expects
 (`<root>/<artist>/<song>.mid`), inferring artist from `Artist - Title.mid`
-file names or an explicit index CSV.
+file names or an explicit index CSV.  The live fetch path is tested against
+a loopback HTTP fixture server (tests/test_scrapers.py), so only the egress
+itself is unexercised here.
 """
 
 from __future__ import annotations

@@ -1,16 +1,46 @@
-"""L0 acquisition scripts, offline paths (SURVEY.md §2 L0).
+"""L0 acquisition scripts (SURVEY.md §2 L0) — both halves.
 
-Live fetching is network-gated (this sandbox has no egress); the tested
-contract is the assembly half: local trees -> the exact artifacts the
+The assembly half is tested on local trees -> the exact artifacts the
 L1 tokenizers consume (lyrics CSV; per-artist .mid tree), proven by
-feeding the output straight into the corpus builders.
+feeding the output straight into the corpus builders.  The LIVE half
+(urlopen fetch + HTML text extraction / binary download) is tested
+against a loopback HTTP fixture server — no egress required — covering
+the parse, the per-URL error skip, and the same L1 hand-off.
 """
 
 import csv
 import sys
+import threading
+from contextlib import contextmanager
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+
+@contextmanager
+def _fixture_server(routes):
+    """Serve {path: (status, bytes)} on 127.0.0.1:<ephemeral>."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            status, body = routes.get(self.path, (404, b"not found"))
+            self.send_response(status)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):                      # keep pytest quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_lyrics_assemble_from_dir(tmp_path):
@@ -77,3 +107,76 @@ def test_midi_organize_from_flat_dir(tmp_path):
     from fewshot.data.corpus import build_midi_corpus
     corpus = build_midi_corpus(out, tmp_path / "packed_midi", max_len=32)
     assert len(corpus.song_len) == 4
+
+
+def test_lyrics_scrape_urls_live_loopback(tmp_path, capsys):
+    from scrape_lyrics import scrape_urls
+
+    page = (b"<html><head><style>body{color:red}</style>"
+            b"<script>var x = 'not lyrics';</script></head>"
+            b"<body><div>all my troubles</div>\n"
+            b"<p>seemed so far away</p></body></html>")
+    page2 = b"<html><body>help me if you can</body></html>"
+    routes = {"/yesterday": (200, page), "/help": (200, page2),
+              "/sos": (200, b"<html><body>so when you are near</body></html>"),
+              "/gone": (500, b"boom")}
+    with _fixture_server(routes) as base:
+        url_list = tmp_path / "urls.csv"
+        url_list.write_text(
+            f"The Beatles, Yesterday, {base}/yesterday\n"
+            f"Queen, Help, {base}/help\n"
+            f"Abba, SOS, {base}/sos\n"
+            f"malformed line with no commas\n"
+            f"Nobody, Gone, {base}/gone\n"
+            f"Nobody, Missing, {base}/nope\n")
+        out = tmp_path / "lyrics.csv"
+        n = scrape_urls(url_list, out)
+
+    assert n == 3                       # 500 + 404 + malformed all skipped
+    assert "skip" in capsys.readouterr().err
+    with open(out, newline="", encoding="utf-8") as f:
+        rows = {(r["artist"], r["song"]): r["lyrics"]
+                for r in csv.DictReader(f)}
+    # script/style stripped, visible text joined with the " / " form
+    assert rows[("The Beatles", "Yesterday")] == \
+        "all my troubles / seemed so far away"
+    assert "not lyrics" not in rows[("The Beatles", "Yesterday")]
+
+    from fewshot.data.corpus import build_lyrics_corpus
+    corpus = build_lyrics_corpus(out, tmp_path / "packed", vocab_size=32,
+                                 max_len=16)
+    assert len(corpus.song_len) == 3
+
+
+def test_midi_fetch_live_loopback(tmp_path, capsys):
+    from scrape_midi import fetch
+
+    from fewshot.data.midi import Note, parse_midi, write_midi
+
+    notes = [Note(0.0, 0.5, 60, 90), Note(0.5, 1.0, 64, 80)]
+    blob = tmp_path / "fixture.mid"
+    write_midi(notes, blob)
+    payload = blob.read_bytes()
+    routes = {"/sowhat.mid": (200, payload), "/peace.mid": (200, payload),
+              "/maiden.mid": (200, payload)}
+    with _fixture_server(routes) as base:
+        url_list = tmp_path / "urls.csv"
+        url_list.write_text(
+            f"Miles Davis,So What,{base}/sowhat.mid\n"
+            f"Bill Evans,Peace Piece,{base}/peace.mid\n"
+            f"Herbie Hancock,Maiden Voyage,{base}/maiden.mid\n"
+            f"Bill Evans,Lost,{base}/missing.mid\n"
+            f"short,row\n")
+        out = tmp_path / "tree"
+        n = fetch(url_list, out)
+
+    assert n == 3                        # 404 + malformed skipped
+    assert "skip" in capsys.readouterr().err
+    assert sorted(p.name for p in out.iterdir()) == \
+        ["Bill_Evans", "Herbie_Hancock", "Miles_Davis"]
+    parsed = parse_midi(out / "Miles_Davis" / "So_What.mid")
+    assert len(parsed) == 2
+
+    from fewshot.data.corpus import build_midi_corpus
+    corpus = build_midi_corpus(out, tmp_path / "packed_midi", max_len=32)
+    assert len(corpus.song_len) == 3
