@@ -251,19 +251,29 @@ def stack_bench(b=160, t=96, e=256, h=512, n_layers=2, iters=20) -> None:
     def fused(p, dt):
         return lstm_stack_fused(p, x, mask, state, dt)
 
+    from fewshot.ops.lstm_fused import stack_fused_supported
+
     for name, fn, dt in [("per-layer/bf16", per_layer, jnp.bfloat16),
                          ("fused-stack/bf16", fused, jnp.bfloat16),
                          ("per-layer/f32", per_layer, jnp.float32),
                          ("fused-stack/f32", fused, jnp.float32)]:
+        # The fused stack's VJP REFUSES shapes that are only eligible
+        # forward-only (the save-gates train footprint degrades tiles
+        # there — lstm_fused._vjp_fwd); bench those legs fwd-only, which
+        # is how the model actually dispatches them (eval/serve).
+        grad_ok = fn is per_layer or stack_fused_supported(
+            params, dt, batch_rows=b, eval_mode=False)
+        fwd_flops_factor = 1 if not grad_ok else 3
+
         @jax.jit
-        def step(p, fn=fn, dt=dt):
+        def step(p, fn=fn, dt=dt, grad_ok=grad_ok):
             def loss(pp):
                 ys, out = fn(pp, dt)
                 s = jnp.sum(ys ** 2)
                 for hh, cc in out:
                     s = s + jnp.sum(hh * cc)
                 return s
-            return jax.grad(loss)(p)
+            return jax.grad(loss)(p) if grad_ok else loss(p)
         g = step(params)
         jax.block_until_ready(g)
         t0 = time.perf_counter()
@@ -271,10 +281,12 @@ def stack_bench(b=160, t=96, e=256, h=512, n_layers=2, iters=20) -> None:
             g = step(params)
         jax.block_until_ready(g)
         dt_s = (time.perf_counter() - t0) / iters
-        flops = 2 * b * t * h * 4 * h * 3 * n_layers
+        flops = 2 * b * t * h * 4 * h * fwd_flops_factor * n_layers
+        mode = "" if grad_ok else " [fwd-only: train-mode ineligible]"
         print(f"stack {name} (B={b},T={t},H={h},L={n_layers}): "
               f"{dt_s*1e3:.2f} ms/step "
-              f"(~{flops/dt_s/1e12:.2f} TFLOP/s recurrence)", flush=True)
+              f"(~{flops/dt_s/1e12:.2f} TFLOP/s recurrence){mode}",
+              flush=True)
 
 
 def prefix_attention_parity(shapes) -> bool:
