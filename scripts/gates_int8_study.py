@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import statistics
 import time
 from pathlib import Path
 import sys
@@ -92,6 +93,15 @@ def main(argv=None) -> None:
         st = training.init_train_state(cfg, len(corpus.vocab))
         steps[m], states[m] = make_warm_step(cfg, corpus, flag, st)
 
+    # One extra UNTIMED round per mode first: the warm-twice in
+    # make_warm_step settles compiles, but the very first timed round
+    # still read ~16% slow in the r3 run (residual device-side warmup),
+    # so it is burned here instead of polluting the aggregate.
+    for m in ("exact", "int8"):
+        for _ in range(args.calls_per_round):
+            states[m], met = steps[m](states[m])
+        jax.block_until_ready(met["loss"])
+
     times: dict[str, list[float]] = {"exact": [], "int8": []}
     for r in range(args.rounds):
         for m in ("exact", "int8") if r % 2 == 0 else ("int8", "exact"):
@@ -102,7 +112,7 @@ def main(argv=None) -> None:
             dt = time.perf_counter() - t0
             times[m].append(args.calls_per_round * spc * cfg.batch_size / dt)
 
-    med = {m: sorted(v)[len(v) // 2] for m, v in times.items()}
+    med = {m: statistics.median(v) for m, v in times.items()}
 
     # --- convergence gate: fixed-seed training, same corpus, both modes --
     conv = {}
@@ -128,9 +138,14 @@ def main(argv=None) -> None:
                      % corpus.max_len,
             "throughput": f"{args.rounds} interleaved rounds x "
                           f"{args.calls_per_round} chunked calls per mode, "
-                          "median eps/s (one process, warm-twice)",
+                          "true median eps/s (one process; warm-twice plus "
+                          "one untimed burn round per mode excluded)",
             "convergence": f"{args.conv_steps} steps at fixed seed per "
-                           "mode, val NLL over 256 episodes",
+                           "mode, val NLL over 256 episodes — a "
+                           "TRAJECTORY-EQUIVALENCE check on the "
+                           "deliberately-overfit bench corpus (train << "
+                           "val); compare the two modes to each other "
+                           "only, it is NOT a healthy-convergence claim",
         },
         "eps_per_sec": {m: round(v, 1) for m, v in med.items()},
         "eps_all_rounds": {m: [round(x, 1) for x in v]
@@ -140,7 +155,7 @@ def main(argv=None) -> None:
         "val_nll_delta_int8": round(conv["int8"]["val_nll"]
                                     - conv["exact"]["val_nll"], 4),
     }
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
 
 

@@ -260,7 +260,16 @@ def stack_bench(b=160, t=96, e=256, h=512, n_layers=2, iters=20) -> None:
         # The fused stack's VJP REFUSES shapes that are only eligible
         # forward-only (the save-gates train footprint degrades tiles
         # there — lstm_fused._vjp_fwd); bench those legs fwd-only, which
-        # is how the model actually dispatches them (eval/serve).
+        # is how the model actually dispatches them (eval/serve).  A leg
+        # that fails even the EVAL-mode plan (e.g. f32 at H=512 L=2 blows
+        # the weight-residency budget) is one no dispatcher ever routes
+        # to in ANY mode — skip it instead of benching a phantom path.
+        if fn is not per_layer and not stack_fused_supported(
+                params, dt, batch_rows=b, eval_mode=True):
+            print(f"stack {name} (B={b},T={t},H={h},L={n_layers}): "
+                  "SKIPPED [fused-path ineligible at this shape in every "
+                  "mode — the dispatcher never routes here]", flush=True)
+            continue
         grad_ok = fn is per_layer or stack_fused_supported(
             params, dt, batch_rows=b, eval_mode=False)
         fwd_flops_factor = 1 if not grad_ok else 3
@@ -282,7 +291,9 @@ def stack_bench(b=160, t=96, e=256, h=512, n_layers=2, iters=20) -> None:
         jax.block_until_ready(g)
         dt_s = (time.perf_counter() - t0) / iters
         flops = 2 * b * t * h * 4 * h * fwd_flops_factor * n_layers
-        mode = "" if grad_ok else " [fwd-only: train-mode ineligible]"
+        mode = ("" if grad_ok
+                else " [fwd-only: train-mode ineligible (eval/serve "
+                     "dispatch)]")
         print(f"stack {name} (B={b},T={t},H={h},L={n_layers}): "
               f"{dt_s*1e3:.2f} ms/step "
               f"(~{flops/dt_s/1e12:.2f} TFLOP/s recurrence){mode}",
