@@ -240,7 +240,8 @@ def evaluate_main(argv=None) -> None:
                      "support-conditioned episodes)")
         from fewshot.models.unigram import evaluate_unigram
         nll = evaluate_unigram(cfg, corpus, data, split,
-                               jax.random.PRNGKey(cfg.seed), args.episodes)
+                               jax.random.PRNGKey(cfg.seed), args.episodes,
+                               mesh=mesh)
         print(f"{args.split}_nll_per_token={nll:.6f} (unigram baseline)",
               flush=True)
         return

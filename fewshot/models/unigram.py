@@ -77,8 +77,51 @@ def lm_nll_stats(tokens: jax.Array, lengths: jax.Array,
     return -jnp.sum(tok_lp * m), jnp.sum(m)
 
 
+def make_unigram_eval_step(cfg, data, split_artists, vocab_size: int,
+                           mesh=None):
+    """Jitted (glp, key) -> (ce_sum, count) over one episodic batch.
+
+    With `mesh`, the same sharding contract as training.make_eval_step:
+    each chip samples batch_size/n_chips episodes from its own PRNG fold
+    and the (ce_sum, count) pair is psum'd, so multi-process floor evals
+    split the work instead of replicating it per host."""
+    from fewshot.data import episodes as eps
+
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None         # see training.make_train_step: 1-device tax
+
+    def local(glp, key, batch):
+        ep = eps.sample_episode(key, data, split_artists, batch,
+                                k=cfg.support_size, q=cfg.query_size)
+        return episodic_nll_stats(ep, glp, vocab_size)
+
+    if mesh is None:
+        @jax.jit
+        def step(glp, key):
+            return local(glp, key, cfg.batch_size)
+        return step
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from fewshot.parallel.mesh import AXIS
+    n_shards = mesh.devices.size
+    if cfg.batch_size % n_shards:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} not divisible by {n_shards} chips")
+    local_batch = cfg.batch_size // n_shards
+
+    def sharded_local(glp, key):
+        idx = jax.lax.axis_index(AXIS)
+        t, c = local(glp, jax.random.fold_in(key, idx), local_batch)
+        return jax.lax.psum(t, AXIS), jax.lax.psum(c, AXIS)
+
+    sharded = shard_map(sharded_local, mesh=mesh, in_specs=(P(), P()),
+                        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(sharded)
+
+
 def evaluate_unigram(cfg, corpus, data, split_artists, key,
-                     num_episodes: int | None = None) -> float:
+                     num_episodes: int | None = None, mesh=None) -> float:
     """Average query NLL/token of the episodic unigram baseline."""
     from fewshot.data import episodes as eps
 
@@ -86,15 +129,12 @@ def evaluate_unigram(cfg, corpus, data, split_artists, key,
     glp = fit_global(data.songs, data.song_len, pool, len(corpus.vocab))
     n = num_episodes if num_episodes is not None else cfg.eval_episodes
     n_batches = max(1, n // cfg.batch_size)
+    step = make_unigram_eval_step(cfg, data, split_artists,
+                                  len(corpus.vocab), mesh=mesh)
     # Same deferred-readback pattern as training.evaluate: dispatch every
     # batch, accumulate on device, ONE host sync at the end (a float() per
     # batch costs ~10ms of device->host round trip through the tunnel).
-    stats = []
-    for i in range(n_batches):
-        ep = eps.sample_episode(jax.random.fold_in(key, i), data,
-                                split_artists, cfg.batch_size,
-                                k=cfg.support_size, q=cfg.query_size)
-        stats.append(episodic_nll_stats(ep, glp, len(corpus.vocab)))
+    stats = [step(glp, jax.random.fold_in(key, i)) for i in range(n_batches)]
     total = sum(t for t, _ in stats)
     count = sum(c for _, c in stats)
     total, count = jax.device_get((total, count))
