@@ -159,10 +159,6 @@ class Config:
                 raise ValueError(
                     "config: support_cache requires task: episodic (it "
                     "mixes in the support-set count posterior)")
-            if self.support_mode == "finetune":
-                raise ValueError(
-                    "config: support_cache does not compose with "
-                    "support_mode: finetune (per-episode adapted params)")
         elif self.cache_calib or self.cache_dynamic:
             raise ValueError(
                 "config: cache_calib/cache_dynamic require "

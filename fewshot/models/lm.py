@@ -618,7 +618,18 @@ def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
     Python).  With cfg.first_order=True the inner gradients are
     stop-gradiented (FOMAML); False differentiates through the inner loop
     (full MAML, second-order).
+
+    cfg.support_cache composes: the inner SGD adapts the weights on the
+    plain support LM loss (the support set carries no separate cache for
+    itself), then the QUERY is scored under the adapted parameters' gated
+    mixture with the episode's support-count posterior — inner-loop
+    adaptation and the count cache answer different questions ("shift the
+    weights toward this artist" vs "which exact words did they use"), so
+    the combination is the natural experiment at vocab scale.
     """
+    v_total = (params["embed"].shape[0] if cfg.tie_embeddings
+               else params["out_w"].shape[1])
+
     def one_episode(support, support_len, query, query_len, dkey):
         def support_loss(p):
             inputs, targets, mask = shift_targets(support, support_len)
@@ -633,8 +644,30 @@ def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
             p = jax.tree.map(lambda w, gw: w - cfg.inner_lr * gw, p, g)
 
         inputs, targets, mask = shift_targets(query, query_len)
-        logits, _ = lm_logits(p, inputs, cfg, mask=mask, dropout_key=dkey)
-        return token_nll(logits, targets, mask)
+        if not cfg.support_cache:
+            logits, _ = lm_logits(p, inputs, cfg, mask=mask,
+                                  dropout_key=dkey)
+            return token_nll(logits, targets, mask)
+
+        # cache mixture under the adapted parameters (explicit-logits
+        # path; rows = the episode's Q query songs).  The cache params
+        # (gate/backoff/calib) receive zero inner gradient — support_loss
+        # never touches them — so p's cache tree equals the meta-params'.
+        q_ = query.shape[0]
+        logits, _, hidden = lm_logits(p, inputs, cfg, mask=mask,
+                                      dropout_key=dkey, with_hidden=True)
+        if cfg.cache_dynamic:
+            phi, total, s, p_global = cache_posterior_parts(
+                p, support[None], support_len[None], v_total)
+            cache_t = dynamic_cache_target_logp(
+                jnp.repeat(phi, q_, axis=0), jnp.repeat(total, q_, axis=0),
+                s, p_global, targets, mask)
+            return cache_mix_stats(p, hidden, lm_target_logp(logits, targets),
+                                   cache_t, mask)
+        log_cache = support_log_cache(p, support[None], support_len[None],
+                                      v_total)
+        log_cache = jnp.repeat(log_cache, q_, axis=0)
+        return cache_token_nll(p, logits, hidden, log_cache, targets, mask)
 
     b = ep.support.shape[0]
     dkeys = (jax.random.split(dropout_key, b)

@@ -83,6 +83,50 @@ def test_meta_training_runs(tiny_corpus):
     assert float(m["loss"]) < first
 
 
+def test_finetune_cache_zero_steps_matches_main_path():
+    """support_cache composes with finetune: at inner_steps=0 the vmapped
+    finetune+cache scoring must equal the main (batched) cache path with
+    support_mode="none" — same mixture, different program shape."""
+    for dyn in (False, True):
+        cfg_ft = dataclasses.replace(
+            CFG, inner_steps=0, support_cache=True, cache_backoff="global",
+            cache_calib=True, cache_calib_freq=True, cache_dynamic=dyn)
+        cfg_main = dataclasses.replace(cfg_ft, support_mode="none")
+        params = lm_mod.init_lm(jax.random.PRNGKey(5), cfg_ft,
+                                CFG.vocab_size)
+        ep = _episode(b=3, seed=6)
+        a = lm_mod.episodic_nll_stats(params, ep, cfg_ft)
+        b = lm_mod.episodic_nll_stats(params, ep, cfg_main)
+        np.testing.assert_allclose(float(a[0]), float(b[0]), rtol=1e-5)
+        assert float(a[1]) == float(b[1])
+
+
+def test_finetune_cache_outer_gradients_finite_and_train_step_runs(
+        tiny_corpus):
+    cfg = dataclasses.replace(CFG, support_cache=True,
+                              cache_backoff="global", cache_calib=True,
+                              cache_dynamic=True)
+    params = lm_mod.init_lm(jax.random.PRNGKey(7), cfg, cfg.vocab_size)
+    ep = _episode(seed=8)
+
+    def loss(p):
+        t, c = lm_mod.episodic_nll_stats(p, ep, cfg)
+        return t / c
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+    # the cache gate is downstream of the query scoring, so it must train
+    assert float(jnp.abs(g["cache_gate"]["w"]).max()) > 0
+
+    data = eps.put_corpus(tiny_corpus)
+    split = jnp.asarray(tiny_corpus.splits["train"])
+    step = training.make_train_step(cfg, data, split)
+    state = training.init_train_state(cfg, 64)
+    state, m = step(state)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_finetune_sampling_uses_support():
     """Generation under support_mode=finetune must adapt to the support —
     different supports give different greedy continuations, same support is
@@ -101,3 +145,19 @@ def test_finetune_sampling_uses_support():
     assert t1.shape == (1, 10)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t1b))  # greedy
     assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_finetune_cache_sampling_valid_ids():
+    """Generation composes finetune adaptation with the cache mixture."""
+    from fewshot import sampling
+    cfg = dataclasses.replace(CFG, sample_tokens=8, support_cache=True,
+                              cache_backoff="global", cache_calib=True,
+                              cache_dynamic=True)
+    params = lm_mod.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    rng = np.random.RandomState(1)
+    sup = jnp.asarray(rng.randint(4, 64, (2, 2, 10)), jnp.int32)
+    slen = jnp.full((2, 2), 10, jnp.int32)
+    toks = np.asarray(sampling.generate(params, sup, slen,
+                                        jax.random.PRNGKey(1), cfg))
+    assert toks.shape == (2, 8)
+    assert (toks >= 0).all() and (toks < 64).all()
