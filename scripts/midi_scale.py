@@ -46,7 +46,14 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prepare_only", action="store_true",
                    help="stop after the offline tier (no TPU work)")
+    p.add_argument("--legs", type=str, default="plain,bpe,sampling",
+                   help="comma list: any of plain, bpe, plain_cache, "
+                        "sampling")
+    p.add_argument("--keep_existing", action="store_true",
+                   help="merge with the existing artifact instead of "
+                        "overwriting (re-run a subset of legs)")
     args = p.parse_args(argv)
+    wanted = set(args.legs.split(","))
 
     from fewshot.data.corpus import PackedCorpus, build_midi_corpus
     from fewshot.data.synthetic import generate_midi_corpus
@@ -58,6 +65,8 @@ def main(argv=None) -> None:
     result: dict = {"artists": args.artists, "songs": args.songs,
                     "notes_per_song": [args.notes_lo, args.notes_hi],
                     "bpe_merges": args.bpe_merges}
+    if args.keep_existing and Path(args.out).exists():
+        result = {**json.loads(Path(args.out).read_text()), **result}
 
     # ---- offline tier: .mid files -> packed corpora ----------------------
     if not raw.exists():
@@ -90,8 +99,22 @@ def main(argv=None) -> None:
 
     # ---- converged training + floors (same harness as scale_quality) ----
     for tag, sub in (("plain", "plain"), ("bpe", "bpe")):
-        result[tag] = run_leg(f"midi_{tag}", root / sub, args)
+        if tag in wanted:
+            result[tag] = run_leg(f"midi_{tag}", root / sub, args)
+            Path(args.out).write_text(json.dumps(result, indent=1))
+    if "plain_cache" in wanted:
+        # the cache-posterior stack on MIDI events (r3 verdict missing
+        # #3): plain events already beat the floor by 1.45 nats, so the
+        # question is whether a K=5 event-vocab signature signal exists
+        # at all — the lyrics result (cache flips lose->win at V=5000)
+        # says the answer is not guessable from the plain margin
+        result["plain_cache"] = run_leg(
+            "midi_plain_cache", root / "plain", args, support_cache=True,
+            cache_backoff="global", cache_calib=True, cache_dynamic=True)
         Path(args.out).write_text(json.dumps(result, indent=1))
+    if "sampling" not in wanted:
+        print(json.dumps(result))
+        return
 
     # ---- grammar-constrained sampling + SMF validity ---------------------
     import jax

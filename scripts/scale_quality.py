@@ -39,11 +39,13 @@ def base_ratio(corpus, split: str) -> float:
     return base_token_ratio(corpus, split)
 
 
-def run_leg(tag: str, corpus_dir: Path, args, model: str = "lstm",
-            support_cache: bool = False,
-            cache_backoff: str = "uniform", cache_calib: bool = False,
-            cache_dynamic: bool = False,
-            cache_calib_freq: bool = False) -> dict:
+def run_leg(tag: str, corpus_dir: Path, args, seed: int = 0,
+            max_steps: int | None = None, **cfg_over) -> dict:
+    """Train one leg to convergence.  `cfg_over` are Config field
+    overrides on top of the flagship defaults (model/support_mode/cell/
+    batch_size/cache flags/...); `seed` seeds init + the episode stream;
+    `max_steps` overrides args.max_steps for legs with a reduced budget
+    (the finetune variant trains ~20x slower than mean_state)."""
     import jax
     import numpy as np
     from fewshot import training
@@ -53,31 +55,42 @@ def run_leg(tag: str, corpus_dir: Path, args, model: str = "lstm",
     from fewshot.models.unigram import evaluate_unigram
     import jax.numpy as jnp
 
+    over = dict(model="lstm", support_mode="mean_state", cell="pallas",
+                batch_size=32, support_cache=False,
+                cache_backoff="uniform", cache_calib=False,
+                cache_dynamic=False, cache_calib_freq=False,
+                compute_dtype="bfloat16")
+    over.update(cfg_over)
+    budget = max_steps if max_steps is not None else args.max_steps
     corpus = PackedCorpus.load(corpus_dir)
     cfg = Config(vocab_size=len(corpus.vocab), max_len=corpus.max_len,
                  embed_dim=256, hidden_dim=512, num_layers=2,
-                 batch_size=32, support_size=5, query_size=5, lr=1e-3,
-                 model=model,
-                 support_mode="mean_state", cell="pallas",
-                 support_cache=support_cache, cache_backoff=cache_backoff,
-                 cache_calib=cache_calib, cache_dynamic=cache_dynamic,
-                 cache_calib_freq=cache_calib_freq,
-                 compute_dtype="bfloat16", eval_episodes=args.eval_episodes,
-                 max_steps=args.max_steps, data_parallel=False)
+                 support_size=5, query_size=5, lr=1e-3,
+                 eval_episodes=args.eval_episodes,
+                 max_steps=budget, data_parallel=False, seed=seed, **over)
     data = eps.put_corpus(corpus)
     train_split = jnp.asarray(corpus.splits["train"])
     val_split = jnp.asarray(corpus.splits["val"])
     test_split = jnp.asarray(corpus.splits["test"])
     ratios = {s: base_ratio(corpus, s) for s in ("val", "test")}
 
+    support_cache = over["support_cache"]
     leg = {"vocab": len(corpus.vocab), "max_len": corpus.max_len,
-           "model": model,
+           "model": over["model"],
+           "support_mode": over["support_mode"],
            "support_cache": support_cache,
-           **({"cache_backoff": cache_backoff,
-               "cache_calib": cache_calib,
-               "cache_dynamic": cache_dynamic,
-               "cache_calib_freq": cache_calib_freq}
+           **({"cache_backoff": over["cache_backoff"],
+               "cache_calib": over["cache_calib"],
+               "cache_dynamic": over["cache_dynamic"],
+               "cache_calib_freq": over["cache_calib_freq"]}
               if support_cache else {}),
+           **({"seed": seed} if seed else {}),
+           **({"batch_size": over["batch_size"]}
+              if over["batch_size"] != 32 else {}),
+           **({"cell": over["cell"]} if over["cell"] != "pallas" else {}),
+           **({"inner_steps": cfg.inner_steps, "inner_lr": cfg.inner_lr,
+               "max_steps_budget": budget}
+              if over["support_mode"] == "finetune" else {}),
            "val_artists": int(val_split.size),
            "test_artists": int(test_split.size),
            "base_token_ratio_val": round(ratios["val"], 4),
@@ -105,8 +118,8 @@ def run_leg(tag: str, corpus_dir: Path, args, model: str = "lstm",
     done_steps = args.steps_per_call
     t0 = time.perf_counter()
     curve = []
-    while done_steps < args.max_steps and stale < args.patience:
-        target = min(done_steps + args.eval_every, args.max_steps)
+    while done_steps < budget and stale < args.patience:
+        target = min(done_steps + args.eval_every, budget)
         while done_steps < target:
             state, m = chunk(state)
             done_steps += args.steps_per_call
@@ -218,6 +231,24 @@ def main(argv=None) -> None:
         dict(tag="tfm", sub="plain", model="transformer"),
         dict(tag="tfm_cache_full", sub="plain", model="transformer",
              **full),
+        # the fine-tune variant at the canonical scale (r4, r3 verdict
+        # missing #2): per-episode inner SGD (FOMAML), matrix row-6
+        # hyperparameters; B=16 meta-batch (B parameter copies adapt in
+        # parallel) and a reduced step budget — the variant trains ~20x
+        # slower than mean_state, the budget is recorded in the leg
+        dict(tag="plain_ft", sub="plain", support_mode="finetune",
+             cell="scan", batch_size=16, inner_steps=2, inner_lr=0.05,
+             max_steps=12000),
+        dict(tag="plain_ft_cache_full", sub="plain",
+             support_mode="finetune", cell="scan", batch_size=16,
+             inner_steps=2, inner_lr=0.05, max_steps=12000, **full),
+        # second seeds for the top-quality legs (r3 verdict weak #6):
+        # per-lever orderings at the 0.01-nat level need a noise bar
+        dict(tag="plain_cache_full_s1", sub="plain", **full, seed=1),
+        dict(tag="plain_cache_freq_s1", sub="plain", **full,
+             cache_calib_freq=True, seed=1),
+        dict(tag="bpe_cache_freq_s1", sub="bpe", **full,
+             cache_calib_freq=True, seed=1),
     ]
     if args.legs:
         wanted = set(args.legs.split(","))

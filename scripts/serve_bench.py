@@ -45,6 +45,16 @@ def main(argv=None):
     p.add_argument("--clients", type=int, default=4)
     p.add_argument("--requests", type=int, default=24)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--corpus_dir", default=None,
+                   help="serve from this packed corpus instead of the "
+                        "small-vocab bench corpus (e.g. "
+                        "data/scale_lyrics/plain for V=5000)")
+    p.add_argument("--cache", action="store_true",
+                   help="serve the flagship-quality model: full neural-"
+                        "cache posterior stack (global backoff + count "
+                        "calibration + freq slope + continuous cache)")
+    p.add_argument("--tag", default=None,
+                   help="artifact key (default: derived from corpus/cache)")
     args = p.parse_args(argv)
 
     from fewshot.utils.cache import enable_compilation_cache
@@ -54,12 +64,21 @@ def main(argv=None):
     from fewshot.config import Config
     from fewshot.serve import Generator, serve
 
-    corpus = ensure_corpus()
-    cfg = Config(vocab_size=5000, max_len=corpus.max_len, embed_dim=256,
+    if args.corpus_dir:
+        from fewshot.data.corpus import PackedCorpus
+        corpus = PackedCorpus.load(Path(args.corpus_dir))
+    else:
+        corpus = ensure_corpus()
+    cache_over = (dict(support_cache=True, cache_backoff="global",
+                       cache_calib=True, cache_calib_freq=True,
+                       cache_dynamic=True) if args.cache else {})
+    cfg = Config(vocab_size=len(corpus.vocab), max_len=corpus.max_len,
+                 embed_dim=256,
                  hidden_dim=512, num_layers=2, batch_size=32,
                  support_size=5, query_size=5, cell="pallas",
                  support_mode="mean_state", compute_dtype="bfloat16",
-                 sample_tokens=args.tokens, data_parallel=False)
+                 sample_tokens=args.tokens, data_parallel=False,
+                 **cache_over)
     state = training.init_train_state(cfg, len(corpus.vocab))
     gen = Generator(cfg, corpus, state.params, batch_size=args.batch)
     srv = serve(gen, host="127.0.0.1", port=0)
@@ -108,6 +127,8 @@ def main(argv=None):
         "value": round(n / wall, 2),
         "unit": (f"req/s ({args.clients} clients, num=1, "
                  f"{args.tokens} tokens, batch={gen.batch}, 1 chip)"),
+        "vocab": len(corpus.vocab),
+        "support_cache": bool(args.cache),
         "tokens_per_sec": round(n * args.tokens / wall, 1),
         "seq_p50_ms": round(p50, 1),
         "seq_p95_ms": round(p95, 1),
@@ -115,9 +136,19 @@ def main(argv=None):
         "concurrent_p95_ms": round(done[int(len(done) * 0.95)] * 1e3, 1),
         "warm_s": round(gen.warm_s, 1),
     }
-    (REPO / "benchmarks" / "serve_bench.json").write_text(
-        json.dumps(rec, indent=1))
-    print(json.dumps(rec), flush=True)
+    # keyed artifact: one entry per served shape (small-vocab flagship,
+    # V=5000 full-cache, ...) so numbers for different shapes coexist
+    tag = args.tag or (
+        f"v{len(corpus.vocab)}" + ("_cache_full" if args.cache else ""))
+    path = REPO / "benchmarks" / "serve_bench.json"
+    book = {}
+    if path.exists():
+        book = json.loads(path.read_text())
+        if "metric" in book:            # migrate the r3 single-record form
+            book = {"v104": book}
+    book[tag] = rec
+    path.write_text(json.dumps(book, indent=1) + "\n")
+    print(json.dumps({tag: rec}), flush=True)
     srv.shutdown()
 
 
