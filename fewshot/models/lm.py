@@ -372,18 +372,33 @@ def cache_posterior_parts(params: dict, support: jax.Array,
         # Counts past the table extend the last slot multiplicatively
         # (phi = exp(t[MAX-1]) * c/MAX), so init (t[c]=log(c)) is the
         # EXACT identity phi(c)=c for every c, not just c<=MAX.
+        #
+        # The table lookups are ONE-HOT MATMULS, not gathers: a [B*V]-
+        # element gather from a 32-entry table lowers to a serialized
+        # scalar-path fusion on TPU (~1.2ms) and its VJP to a
+        # scatter-add (~1.4ms) — measured 26%/42% of the WHOLE train
+        # step for calib/freq at the V=5000 flagship shape
+        # (benchmarks/cache_speed_recheck.json + the fusion.522/542
+        # trace).  one_hot(idx) @ table is a [B*V,32]x[32,k] matmul
+        # whose VJP is another matmul; both ride the MXU at ~50us.
         idx = jnp.clip(counts.astype(jnp.int32) - 1, 0, CACHE_CALIB_MAX - 1)
         c_cap = jnp.clip(counts, 1.0, float(CACHE_CALIB_MAX))
-        log_phi = calib["t"].astype(jnp.float32)[idx]
+        hot = jax.nn.one_hot(idx, CACHE_CALIB_MAX, dtype=jnp.float32)
+        t = calib["t"].astype(jnp.float32)
         if "a" in calib:
             # cfg.cache_calib_freq: per-count-level slope on the word's
             # log global frequency, centered so x=0 for a uniform
             # backoff (init) — see init_lm.  stop_gradient keeps u
             # trained purely as the backoff distribution; here it is a
-            # feature, not a branch of the mixture.
+            # feature, not a branch of the mixture.  Both tables share
+            # one one-hot: [32,2] stacked, one matmul, one VJP.
             x = jax.lax.stop_gradient(
                 jnp.log(jnp.float32(vocab_size)) + log_pg)       # [V]
-            log_phi = log_phi + calib["a"].astype(jnp.float32)[idx] * x
+            tab = jnp.stack([t, calib["a"].astype(jnp.float32)], axis=-1)
+            ta = jnp.einsum("bvc,ck->bvk", hot, tab)
+            log_phi = ta[..., 0] + ta[..., 1] * x
+        else:
+            log_phi = jnp.einsum("bvc,c->bv", hot, t)
         phi = jnp.where(counts > 0,
                         jnp.exp(log_phi) * (counts / c_cap), 0.0)
     total = jnp.sum(phi, axis=-1, keepdims=True)

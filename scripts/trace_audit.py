@@ -149,6 +149,10 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default=str(REPO / "benchmarks" /
                                          "step_profile.json"))
     ap.add_argument("--support_cache", action="store_true")
+    ap.add_argument("--cache_stack", default=None,
+                    choices=("global", "calib", "full", "freq"),
+                    help="trace a specific cache-posterior stack "
+                         "(implies --support_cache)")
     args = ap.parse_args(argv)
 
     import jax
@@ -164,12 +168,22 @@ def main(argv=None) -> None:
         corpus = PackedCorpus.load(args.corpus_dir)
     else:
         corpus = ensure_corpus()
+    stacks = {
+        None: {},
+        "global": dict(cache_backoff="global"),
+        "calib": dict(cache_backoff="global", cache_calib=True),
+        "full": dict(cache_backoff="global", cache_calib=True,
+                     cache_dynamic=True),
+        "freq": dict(cache_backoff="global", cache_calib=True,
+                     cache_dynamic=True, cache_calib_freq=True),
+    }
     cfg = Config(vocab_size=max(5000, len(corpus.vocab)),
                  max_len=corpus.max_len, embed_dim=256,
                  hidden_dim=512, num_layers=2, batch_size=32,
                  support_size=5, query_size=5, cell="pallas",
                  support_mode="mean_state", compute_dtype="bfloat16",
-                 support_cache=args.support_cache,
+                 support_cache=args.support_cache or bool(args.cache_stack),
+                 **stacks[args.cache_stack],
                  data_parallel=True, steps_per_call=10, log_interval=10,
                  eval_interval=0, checkpoint_interval=0, max_steps=100)
     data = eps.put_corpus(corpus)
