@@ -39,9 +39,17 @@ def _masked_counts(tokens: jax.Array, lengths: jax.Array,
 @partial(jax.jit, static_argnames=("vocab_size",))
 def fit_global(songs: jax.Array, song_len: jax.Array, song_pool: jax.Array,
                vocab_size: int, alpha: float = 1.0) -> jax.Array:
-    """Smoothed global log-probs [V] from a split's songs."""
-    counts = _masked_counts(songs[song_pool], song_len[song_pool],
-                            vocab_size)
+    """Smoothed global log-probs [V] from a split's songs.
+
+    Scatter-add, not one-hot: the pool is the whole split (tens of
+    thousands of songs), so the one-hot intermediate is [pool, L-1, V] —
+    ~150GB at the V=5000 scale corpus.  XLA:TPU fuses it away but the
+    CPU backend materializes it and dies; a scatter-add is O(V) memory
+    on every backend, and this fit runs once per eval, not per step.
+    """
+    _, targets, mask = shift_targets(songs[song_pool], song_len[song_pool])
+    counts = jnp.zeros((vocab_size,), jnp.float32).at[
+        targets.reshape(-1)].add(mask.reshape(-1).astype(jnp.float32))
     counts = counts.at[PAD].set(0.0)
     smoothed = counts + alpha
     return jnp.log(smoothed / jnp.sum(smoothed))
