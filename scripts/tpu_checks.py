@@ -417,6 +417,53 @@ def head_ce_parity(shapes) -> bool:
     return ok
 
 
+def head_ce_bench(iters=20) -> None:
+    """Train-like CE fwd+bwd: fused kernel (plan auto-picked per shape —
+    resident at V=5000, vocab-tiled at V=20000) vs the dense lse-form
+    path the model would otherwise fall back to."""
+    import jax
+    import jax.numpy as jnp
+    from fewshot.ops.head_ce import head_lse_tgt, _plan
+
+    for (r, d, v) in [(15200, 256, 5000), (15200, 256, 20000)]:
+        mode = _plan(r, d, v, 2, train=True)[0]
+        rng = np.random.RandomState(0)
+        h2 = jnp.asarray(rng.randn(r, d), jnp.bfloat16) * 0.3
+        w = jnp.asarray(rng.randn(d, v), jnp.bfloat16) * 0.1
+        b = jnp.asarray(rng.randn(v), jnp.float32) * 0.1
+        tgt = jnp.asarray(rng.randint(0, v, r), jnp.int32)
+        mask = jnp.asarray(rng.rand(r) < 0.8, jnp.float32)
+
+        def dense(h2, w, b):
+            logits = jnp.dot(h2, w, preferred_element_type=jnp.float32) + b
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            tl = jnp.take_along_axis(logits, tgt[:, None], axis=-1)[:, 0]
+            return lse, tl
+
+        def loss(fn, h2, w, b):
+            lse, tl = fn(h2, w, b)
+            return jnp.sum(mask * (lse - tl)) + 0.3 * jnp.sum(mask * lse)
+
+        times = {}
+        for name, fn in [(f"fused/{mode}",
+                          lambda *x: head_lse_tgt(*x, tgt)),
+                         ("dense", dense)]:
+            step = jax.jit(jax.grad(
+                lambda *a, fn=fn: loss(fn, *a), argnums=(0, 1, 2)))
+            g = step(h2, w, b)
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                g = step(h2, w, b)
+            jax.block_until_ready(g)
+            times[name] = (time.perf_counter() - t0) / iters
+            print(f"head-ce R={r} D={d} V={v} {name}: "
+                  f"{times[name]*1e3:.2f} ms fwd+bwd", flush=True)
+        fused_key = f"fused/{mode}"
+        print(f"head-ce V={v}: fused({mode}) speedup over dense "
+              f"{times['dense']/times[fused_key]:.2f}x", flush=True)
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--bench", action="store_true", help="skip parity")
@@ -437,11 +484,14 @@ def main(argv=None) -> None:
                             (8, 9, 16, 128, 3)])
         ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),
                                        (4, 5, 192, 4, 32, 960)])
+        # (15200, 256, 20000) rides the vocab-tiled plan on-chip: the
+        # resident plan refuses past ~V=10k at D=256 bf16
         ok &= head_ce_parity([(64, 128, 2000), (15200, 256, 5000),
-                              (100, 256, 1537)])
+                              (100, 256, 1537), (15200, 256, 20000)])
         if not ok:
             sys.exit(1)
     micro_bench()
+    head_ce_bench()
     stack_bench()
     stack_bench(t=255)
     prefix_attention_bench()
