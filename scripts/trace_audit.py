@@ -153,6 +153,11 @@ def main(argv=None) -> None:
                     choices=("global", "calib", "full", "freq"),
                     help="trace a specific cache-posterior stack "
                          "(implies --support_cache)")
+    ap.add_argument("--model", default="lstm", choices=("lstm",
+                                                        "transformer"),
+                    help="transformer: op attribution only — the hand "
+                         "FLOP model (and thus MFU) is LSTM-specific "
+                         "and is reported as absent")
     args = ap.parse_args(argv)
 
     import jax
@@ -181,6 +186,7 @@ def main(argv=None) -> None:
                  max_len=corpus.max_len, embed_dim=256,
                  hidden_dim=512, num_layers=2, batch_size=32,
                  support_size=5, query_size=5, cell="pallas",
+                 model=args.model,
                  support_mode="mean_state", compute_dtype="bfloat16",
                  support_cache=args.support_cache or bool(args.cache_stack),
                  **stacks[args.cache_stack],
@@ -224,13 +230,17 @@ def main(argv=None) -> None:
     by_name, device_total_us = parse_trace(trace_dir)
     per_step_ms = device_total_us / n_steps / 1e3
 
-    terms, flops_per_step = flop_model(cfg, len(corpus.vocab))
+    if args.model == "lstm":
+        terms, flops_per_step = flop_model(cfg, len(corpus.vocab))
+    else:
+        terms, flops_per_step = {"_note": "no hand FLOP model for the "
+                                 "transformer; attribution only"}, None
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind)
-    mfu_device = (flops_per_step / (per_step_ms / 1e3)) / peak if peak \
-        else None
-    mfu_wall = (flops_per_step / (wall_ms_per_step / 1e3)) / peak if peak \
-        else None
+    mfu_device = (flops_per_step / (per_step_ms / 1e3)) / peak \
+        if peak and flops_per_step else None
+    mfu_wall = (flops_per_step / (wall_ms_per_step / 1e3)) / peak \
+        if peak and flops_per_step else None
 
     # XLA cost-analysis cross-check (includes the Pallas CostEstimates)
     cost = step.lower(state).compile().cost_analysis()
@@ -241,9 +251,9 @@ def main(argv=None) -> None:
                     for n, us in by_name.items()), key=lambda r: -r[1])
     out = {
         "protocol": {
-            "shape": f"B=32 K=Q=5 L={cfg.max_len} E=256 H=512 layers=2 "
-                     f"V={len(corpus.vocab)} bf16 pallas mean_state "
-                     f"(bench.py flagship)",
+            "shape": f"{args.model} B=32 K=Q=5 L={cfg.max_len} E=256 "
+                     f"H=512 layers=2 V={len(corpus.vocab)} bf16 pallas "
+                     f"mean_state (bench.py flagship)",
             "method": "jax.profiler trace of 2x10-step chunked calls after "
                       "a 2-call warmup; device time = sum of op durations "
                       "on the TPU device track; wall time re-measured "
