@@ -74,6 +74,19 @@ class Config:
     cache_dynamic: bool = False      # continuous cache: add the query's
                                      # own autoregressive prefix counts
                                      # to the posterior (NLL and sampling)
+    cache_lm_aux: float = 0.0        # auxiliary LM-branch CE weight during
+                                     # TRAINING only (eval/val NLL stays the
+                                     # pure mixture): loss = mix_CE +
+                                     # aux * lm_CE.  Breaks the mixture's
+                                     # rich-get-richer gradient starvation —
+                                     # when the count posterior is already
+                                     # near-optimal at init (small vocabs,
+                                     # e.g. MIDI V=204) the gate routes to
+                                     # the cache and scales the LM branch's
+                                     # gradient by its ~1% responsibility,
+                                     # freezing the LSTM at the floor
+                                     # (benchmarks/midi_scale.json leg
+                                     # plain_cache, RESULTS.md)
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -163,6 +176,12 @@ class Config:
             raise ValueError(
                 "config: cache_calib/cache_dynamic require "
                 "support_cache: true (they modify the cache posterior)")
+        if self.cache_lm_aux < 0:
+            raise ValueError("config: cache_lm_aux must be >= 0")
+        if self.cache_lm_aux > 0 and not self.support_cache:
+            raise ValueError(
+                "config: cache_lm_aux requires support_cache: true (it "
+                "is the mixture's auxiliary LM-branch loss)")
         if self.cache_calib_freq and not (
                 self.cache_calib and self.cache_backoff == "global"):
             raise ValueError(

@@ -479,7 +479,8 @@ def cache_mixed_logp(params: dict, logits: jax.Array, hidden: jax.Array,
 
 def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
                     log_cache: jax.Array, targets: jax.Array,
-                    mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+                    mask: jax.Array, lm_aux: float = 0.0
+                    ) -> tuple[jax.Array, jax.Array]:
     """(sum CE, count) under the cache mixture, WITHOUT materializing the
     [.., V] mixture: CE only needs the mixture's log-prob at the TARGET
     token, and both branches are normalized, so
@@ -498,7 +499,7 @@ def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
         cache_t = jnp.einsum("rtv,rv->rt", hot, log_cache)
     else:
         cache_t = jnp.take_along_axis(log_cache, targets, axis=-1)
-    return cache_mix_stats(params, hidden, lm_t, cache_t, mask)
+    return cache_mix_stats(params, hidden, lm_t, cache_t, mask, lm_aux)
 
 
 def lm_target_logp(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -517,16 +518,30 @@ def lm_target_logp(logits: jax.Array, targets: jax.Array) -> jax.Array:
 
 
 def cache_mix_stats(params: dict, hidden: jax.Array, lm_t: jax.Array,
-                    cache_t: jax.Array, mask: jax.Array
-                    ) -> tuple[jax.Array, jax.Array]:
+                    cache_t: jax.Array, mask: jax.Array,
+                    lm_aux: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """(sum CE, count) of the gated mixture given the two branches' target
     log-probs (lm_t from logits or the fused head kernel; cache_t from the
-    support posterior)."""
+    support posterior).
+
+    lm_aux > 0 (cfg.cache_lm_aux, TRAIN steps only — eval always passes 0
+    so the reported NLL is the pure mixture) adds lm_aux * the LM branch's
+    own CE to the sum.  Rationale: the mixture's gradient to the LM branch
+    is scaled by the branch's posterior responsibility
+    (1-g)*p_lm/p_mix; when the count posterior is near-optimal at init
+    (small vocab + high support coverage, e.g. MIDI V=204) the gate
+    saturates toward the cache and that factor is ~1%, freezing the LSTM
+    at the unigram floor (the collapsed plain_cache leg in
+    benchmarks/midi_scale.json).  The auxiliary term gives the LM branch
+    its full-strength gradient regardless of the gate; the gate still
+    arbitrates the mixture the metric scores."""
     z = (jnp.tensordot(hidden.astype(jnp.float32),
                        params["cache_gate"]["w"], axes=([-1], [0]))
          + params["cache_gate"]["b"])
     mixed_t = jnp.logaddexp(jax.nn.log_sigmoid(-z) + lm_t,
                             jax.nn.log_sigmoid(z) + cache_t)
+    if lm_aux:
+        mixed_t = mixed_t + lm_aux * lm_t
     m = mask.astype(jnp.float32)
     return -jnp.sum(mixed_t * m), jnp.sum(m)
 
@@ -620,7 +635,8 @@ def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
 
 
 def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
-                                dropout_key: jax.Array | None = None
+                                dropout_key: jax.Array | None = None,
+                                lm_aux: float = 0.0
                                 ) -> tuple[jax.Array, jax.Array]:
     """Fine-tune episodic variant (SURVEY.md §2 "LSTM LM baseline
     (+ fine-tune variant)"): per episode, take cfg.inner_steps SGD steps on
@@ -678,11 +694,12 @@ def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
                 jnp.repeat(phi, q_, axis=0), jnp.repeat(total, q_, axis=0),
                 s, p_global, targets, mask)
             return cache_mix_stats(p, hidden, lm_target_logp(logits, targets),
-                                   cache_t, mask)
+                                   cache_t, mask, lm_aux)
         log_cache = support_log_cache(p, support[None], support_len[None],
                                       v_total)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
-        return cache_token_nll(p, logits, hidden, log_cache, targets, mask)
+        return cache_token_nll(p, logits, hidden, log_cache, targets, mask,
+                               lm_aux)
 
     b = ep.support.shape[0]
     dkeys = (jax.random.split(dropout_key, b)
@@ -704,9 +721,14 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
 
     eval_mode: caller will not differentiate (see models/lstm.py).  NOT
     forwarded to the finetune variant — its inner SGD differentiates the
-    support loss even under an undifferentiated outer eval."""
+    support loss even under an undifferentiated outer eval.  eval_mode
+    additionally gates cfg.cache_lm_aux: the auxiliary LM-branch loss
+    (see cache_mix_stats) shapes TRAIN gradients only; every eval NLL
+    reported anywhere is the pure mixture."""
+    lm_aux = 0.0 if eval_mode else cfg.cache_lm_aux
     if cfg.support_mode == "finetune":
-        return finetune_episodic_nll_stats(params, ep, cfg, dropout_key)
+        return finetune_episodic_nll_stats(params, ep, cfg, dropout_key,
+                                           lm_aux)
     b, q_, l_ = ep.query.shape
     inputs, targets, mask = shift_targets(ep.query, ep.query_len)
     flat_inputs = inputs.reshape(b * q_, l_ - 1)
@@ -778,7 +800,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             else:
                 lm_t = lm_target_logp(logits, flat_targets)
             return cache_mix_stats(params, hidden, lm_t, cache_t,
-                                   flat_mask)
+                                   flat_mask, lm_aux)
         log_cache = support_log_cache(params, ep.support, ep.support_len,
                                       v_total)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
@@ -786,9 +808,9 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
             cache_t = jnp.take_along_axis(log_cache, flat_targets, axis=-1)
             return cache_mix_stats(params, hidden, tl - lse, cache_t,
-                                   flat_mask)
+                                   flat_mask, lm_aux)
         return cache_token_nll(params, logits, hidden, log_cache,
-                               flat_targets, flat_mask)
+                               flat_targets, flat_mask, lm_aux)
     if fused:
         lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
         m = flat_mask.astype(jnp.float32)

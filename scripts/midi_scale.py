@@ -48,7 +48,7 @@ def main(argv=None) -> None:
                    help="stop after the offline tier (no TPU work)")
     p.add_argument("--legs", type=str, default="plain,bpe,sampling",
                    help="comma list: any of plain, bpe, plain_cache, "
-                        "sampling")
+                        "plain_cache_aux, sampling")
     p.add_argument("--keep_existing", action="store_true",
                    help="merge with the existing artifact instead of "
                         "overwriting (re-run a subset of legs)")
@@ -111,6 +111,17 @@ def main(argv=None) -> None:
         result["plain_cache"] = run_leg(
             "midi_plain_cache", root / "plain", args, support_cache=True,
             cache_backoff="global", cache_calib=True, cache_dynamic=True)
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    if "plain_cache_aux" in wanted:
+        # r4: the plain_cache leg above COLLAPSED to the unigram floor
+        # (mixture gradient starvation — at V=204 the count posterior is
+        # near-optimal at init, the gate routes to it, and the LM branch's
+        # gradient is scaled to ~1% by its responsibility; RESULTS.md).
+        # cache_lm_aux=1.0 gives the LM branch its own full-strength CE.
+        result["plain_cache_aux"] = run_leg(
+            "midi_plain_cache_aux", root / "plain", args,
+            support_cache=True, cache_backoff="global", cache_calib=True,
+            cache_dynamic=True, cache_lm_aux=1.0)
         Path(args.out).write_text(json.dumps(result, indent=1))
     if "sampling" not in wanted:
         print(json.dumps(result))

@@ -59,7 +59,7 @@ def run_leg(tag: str, corpus_dir: Path, args, seed: int = 0,
                 batch_size=32, support_cache=False,
                 cache_backoff="uniform", cache_calib=False,
                 cache_dynamic=False, cache_calib_freq=False,
-                compute_dtype="bfloat16")
+                cache_lm_aux=0.0, compute_dtype="bfloat16")
     over.update(cfg_over)
     budget = max_steps if max_steps is not None else args.max_steps
     corpus = PackedCorpus.load(corpus_dir)
@@ -82,7 +82,9 @@ def run_leg(tag: str, corpus_dir: Path, args, seed: int = 0,
            **({"cache_backoff": over["cache_backoff"],
                "cache_calib": over["cache_calib"],
                "cache_dynamic": over["cache_dynamic"],
-               "cache_calib_freq": over["cache_calib_freq"]}
+               "cache_calib_freq": over["cache_calib_freq"],
+               **({"cache_lm_aux": over["cache_lm_aux"]}
+                  if over["cache_lm_aux"] else {})}
               if support_cache else {}),
            **({"seed": seed} if seed else {}),
            **({"batch_size": over["batch_size"]}
@@ -249,6 +251,12 @@ def main(argv=None) -> None:
              cache_calib_freq=True, seed=1),
         dict(tag="bpe_cache_freq_s1", sub="bpe", **full,
              cache_calib_freq=True, seed=1),
+        # auxiliary LM-branch loss (r4): the MIDI plain_cache leg exposed
+        # mixture gradient starvation (midi_scale.json, RESULTS.md); this
+        # leg checks the fix is harmless-or-better where the stack already
+        # trains (the LM branch gets a clean full-strength gradient)
+        dict(tag="plain_cache_full_aux", sub="plain", **full,
+             cache_lm_aux=1.0),
     ]
     if args.legs:
         wanted = set(args.legs.split(","))

@@ -359,6 +359,71 @@ def test_calib_freq_grads_flow_to_slope_not_feature():
     assert float(jnp.abs(g["cache_calib"]["a"]).max()) > 0
 
 
+@pytest.mark.parametrize("mode,dynamic", [("mean_state", False),
+                                          ("mean_state", True),
+                                          ("finetune", False)])
+def test_cache_lm_aux_train_total_is_mix_plus_aux_lm(mode, dynamic):
+    """Train-mode total with cache_lm_aux=l == pure mixture total +
+    l * LM-branch CE (the latter read off via a gate pinned to g~0);
+    eval-mode total is the pure mixture regardless of the flag."""
+    lam = 0.7
+    cfg = _cfg(support_mode=mode, cache_dynamic=dynamic, dropout=0.0)
+    cfg_aux = dataclasses.replace(cfg, cache_lm_aux=lam)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    params["cache_gate"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.hidden_dim,)) * 0.3
+    ep = _episode(jax.random.PRNGKey(2), cfg, cfg.vocab_size)
+
+    t_mix, c_mix = lm.episodic_nll_stats(params, ep, cfg)
+    t_aux, c_aux = lm.episodic_nll_stats(params, ep, cfg_aux)
+    t_aux_eval, _ = lm.episodic_nll_stats(params, ep, cfg_aux,
+                                          eval_mode=True)
+    p_lm = {**params,
+            "cache_gate": {"w": jnp.zeros_like(params["cache_gate"]["w"]),
+                           "b": jnp.float32(-30.0)}}
+    t_lm, _ = lm.episodic_nll_stats(p_lm, ep, cfg)
+
+    assert float(c_mix) == float(c_aux)
+    np.testing.assert_allclose(float(t_aux_eval), float(t_mix), rtol=1e-6)
+    np.testing.assert_allclose(float(t_aux), float(t_mix) + lam * float(t_lm),
+                               rtol=1e-4)
+
+
+def test_cache_lm_aux_unsticks_the_starved_lm_gradient():
+    """The pathology pin (benchmarks/midi_scale.json plain_cache): with the
+    gate saturated toward the cache (b=+30) the LM branch's mixture
+    gradient is ~sigmoid(-30)~1e-13 of normal; the auxiliary loss restores
+    a full-strength gradient to the LSTM/embedding."""
+    cfg = _cfg()
+    cfg_aux = dataclasses.replace(cfg, cache_lm_aux=1.0)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    params["cache_gate"]["b"] = jnp.float32(30.0)
+    ep = _episode(jax.random.PRNGKey(1), cfg, cfg.vocab_size)
+
+    def gnorm(c):
+        def loss(p):
+            t, n = lm.episodic_nll_stats(p, ep, c)
+            return t / n
+        g = jax.grad(loss)(params)
+        return float(optax_global_norm(g["lstm"]))
+
+    starved, unstuck = gnorm(cfg), gnorm(cfg_aux)
+    assert starved < 1e-6, starved
+    assert unstuck > 1e3 * max(starved, 1e-30), (starved, unstuck)
+
+
+def optax_global_norm(tree):
+    import optax
+    return optax.global_norm(tree)
+
+
+def test_cache_lm_aux_requires_support_cache():
+    with pytest.raises(ValueError, match="cache_lm_aux"):
+        _cfg(support_cache=False, cache_lm_aux=1.0)
+    with pytest.raises(ValueError, match="cache_lm_aux"):
+        _cfg(cache_lm_aux=-0.5)
+
+
 def test_dynamic_cache_matches_numpy_oracle():
     """dynamic_cache_target_logp == per-position numpy recount of the
     query's own masked prefix."""
