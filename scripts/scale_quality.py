@@ -257,6 +257,12 @@ def main(argv=None) -> None:
         # trains (the LM branch gets a clean full-strength gradient)
         dict(tag="plain_cache_full_aux", sub="plain", **full,
              cache_lm_aux=1.0),
+        # aux on the BEST model (r4): at V=5000 the transformer cache
+        # stack sits 0.048 nats from the measured K-shot Bayes bound; if
+        # the aux loss trains a stronger LM branch the mixture may close
+        # more of what little achievable gap remains
+        dict(tag="tfm_cache_full_aux", sub="plain", model="transformer",
+             **full, cache_lm_aux=1.0),
     ]
     if args.legs:
         wanted = set(args.legs.split(","))
