@@ -359,19 +359,23 @@ def test_calib_freq_grads_flow_to_slope_not_feature():
     assert float(jnp.abs(g["cache_calib"]["a"]).max()) > 0
 
 
-@pytest.mark.parametrize("mode,dynamic", [("mean_state", False),
-                                          ("mean_state", True),
-                                          ("finetune", False)])
-def test_cache_lm_aux_train_total_is_mix_plus_aux_lm(mode, dynamic):
+@pytest.mark.parametrize("mode,dynamic,model", [
+    ("mean_state", False, "lstm"),
+    ("mean_state", True, "lstm"),
+    ("finetune", False, "lstm"),
+    ("mean_state", False, "transformer"),   # tfm_cache_full_aux leg's path
+])
+def test_cache_lm_aux_train_total_is_mix_plus_aux_lm(mode, dynamic, model):
     """Train-mode total with cache_lm_aux=l == pure mixture total +
     l * LM-branch CE (the latter read off via a gate pinned to g~0);
     eval-mode total is the pure mixture regardless of the flag."""
     lam = 0.7
-    cfg = _cfg(support_mode=mode, cache_dynamic=dynamic, dropout=0.0)
+    cfg = _cfg(support_mode=mode, cache_dynamic=dynamic, dropout=0.0,
+               model=model)
     cfg_aux = dataclasses.replace(cfg, cache_lm_aux=lam)
     params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
     params["cache_gate"]["w"] = jax.random.normal(
-        jax.random.PRNGKey(1), (cfg.hidden_dim,)) * 0.3
+        jax.random.PRNGKey(1), params["cache_gate"]["w"].shape) * 0.3
     ep = _episode(jax.random.PRNGKey(2), cfg, cfg.vocab_size)
 
     t_mix, c_mix = lm.episodic_nll_stats(params, ep, cfg)
