@@ -251,6 +251,8 @@ def main(argv=None) -> None:
              cache_calib_freq=True, seed=1),
         dict(tag="bpe_cache_freq_s1", sub="bpe", **full,
              cache_calib_freq=True, seed=1),
+        dict(tag="tfm_cache_full_s1", sub="plain", model="transformer",
+             **full, seed=1),
         # auxiliary LM-branch loss (r4): the MIDI plain_cache leg exposed
         # mixture gradient starvation (midi_scale.json, RESULTS.md); this
         # leg checks the fix is harmless-or-better where the stack already
