@@ -141,6 +141,59 @@ def flop_model(cfg, corpus_vocab: int) -> tuple[dict, float]:
     return terms, total
 
 
+def tfm_flop_model(cfg, corpus_vocab: int) -> tuple[dict, float]:
+    """Exact matmul FLOPs per episodic-transformer train step (r4).
+
+    Mirrors models/transformer.py transformer_prefix_forward exactly: the
+    K-support concat forms a P=K*L prefix stream (causal self-attention,
+    computed once per episode); each of the Q query songs (Lq=L-1 target
+    positions) attends to prefix ++ itself.  Conventions shared with the
+    LSTM model: all matmul FLOPs are 2*m*n*k; train = 3x forward (exact
+    backward: dX + dW = 2x fwd).  Attention score/out FLOPs count the
+    full rectangles the kernels actually sweep (ops/prefix_attention.py
+    masks causal blocks in-kernel rather than skipping them), and the
+    flash kernels' backward score RECOMPUTATION is deliberately NOT
+    credited — same rule as the LSTM model's uncredited fused-head
+    logit recompute — so MFU reads conservative (required work only)."""
+    B, K, Q = cfg.batch_size, cfg.support_size, cfg.query_size
+    T, E, V = cfg.max_len, cfg.embed_dim, corpus_vocab
+    F = cfg.mlp_ratio * E
+    nlayers = cfg.num_layers
+    P = K * T                       # prefix tokens per episode
+    Lq = T - 1                      # query target positions
+    ptok = B * P                    # prefix-stream tokens
+    qtok = B * Q * Lq               # query-stream tokens
+    terms = {}
+
+    def term(name, formula, flops):
+        terms[name] = {"formula": formula, "gflops": round(flops / 1e9, 3)}
+        return flops
+
+    fwd = 0.0
+    fwd += term("qkv_proj", "2*L*(ptok+qtok)*E*3E  (fused QKV, both "
+                "streams)", 2 * nlayers * (ptok + qtok) * E * 3 * E)
+    fwd += term("prefix_self_attn", "2*L*2*B*P*P*E  (scores + probs@V, "
+                "causal rectangle)", 2 * nlayers * 2 * B * P * P * E)
+    fwd += term("query_prefix_attn", "2*L*2*B*Q*Lq*(P+Lq)*E  (scores + "
+                "probs@V over prefix ++ self)",
+                2 * nlayers * 2 * B * Q * Lq * (P + Lq) * E)
+    fwd += term("attn_out_proj", "2*L*(ptok+qtok)*E*E",
+                2 * nlayers * (ptok + qtok) * E * E)
+    fwd += term("mlp", "2*L*(ptok+qtok)*2*E*F  (w1 + w2)",
+                2 * nlayers * (ptok + qtok) * 2 * E * F)
+    fwd += term("head", "2*qtok*E*V  (tied embedding head, query "
+                "positions only)", 2 * qtok * E * V)
+    total = 3.0 * fwd
+    terms["_total"] = {
+        "formula": "3x forward matmul FLOPs (exact backward; flash "
+                   "recompute and remat not credited)",
+        "gflops": round(total / 1e9, 3),
+        "note": f"P=K*T={P}, Lq={Lq}, ptok={ptok}, qtok={qtok}, E={E}, "
+                f"F={F}, V={V}, layers={nlayers}",
+    }
+    return terms, total
+
+
 def main(argv=None) -> None:
     import argparse
     ap = argparse.ArgumentParser()
@@ -155,9 +208,8 @@ def main(argv=None) -> None:
                          "(implies --support_cache)")
     ap.add_argument("--model", default="lstm", choices=("lstm",
                                                         "transformer"),
-                    help="transformer: op attribution only — the hand "
-                         "FLOP model (and thus MFU) is LSTM-specific "
-                         "and is reported as absent")
+                    help="which family to trace; each has its own exact "
+                         "hand FLOP model (flop_model / tfm_flop_model)")
     args = ap.parse_args(argv)
 
     import jax
@@ -233,8 +285,7 @@ def main(argv=None) -> None:
     if args.model == "lstm":
         terms, flops_per_step = flop_model(cfg, len(corpus.vocab))
     else:
-        terms, flops_per_step = {"_note": "no hand FLOP model for the "
-                                 "transformer; attribution only"}, None
+        terms, flops_per_step = tfm_flop_model(cfg, len(corpus.vocab))
     kind = jax.devices()[0].device_kind
     peak = PEAK_BF16.get(kind)
     mfu_device = (flops_per_step / (per_step_ms / 1e3)) / peak \
@@ -252,7 +303,9 @@ def main(argv=None) -> None:
     out = {
         "protocol": {
             "shape": f"{args.model} B=32 K=Q=5 L={cfg.max_len} E=256 "
-                     f"H=512 layers=2 V={len(corpus.vocab)} bf16 pallas "
+                     + ("H=512 " if args.model == "lstm"
+                        else f"nh={cfg.num_heads} F={cfg.mlp_ratio * 256} ")
+                     + f"layers=2 V={len(corpus.vocab)} bf16 pallas "
                      f"mean_state (bench.py flagship)",
             "method": "jax.profiler trace of 2x10-step chunked calls after "
                       "a 2-call warmup; device time = sum of op durations "
