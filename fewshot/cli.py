@@ -82,6 +82,19 @@ def train_main(argv=None) -> None:
     args, cfg, corpus = _setup(argv, flags)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if (cfg.support_cache and cfg.cache_lm_aux == 0
+            and len(corpus.vocab) <= 1024):
+        # Measured starvation regime (benchmarks/midi_scale.json leg
+        # plain_cache, RESULTS.md): at small vocabs the K-shot count
+        # posterior is near-optimal at init, the gate routes to it, and
+        # the LM branch's mixture gradient is scaled to ~1% — training
+        # silently freezes at the unigram floor.  Warn, don't refuse:
+        # the regime boundary is corpus-dependent.
+        print(f"warning: support_cache with a small vocab "
+              f"(V={len(corpus.vocab)}) and cache_lm_aux=0 risks mixture "
+              f"gradient starvation (training freezes at the unigram "
+              f"floor) — consider --set cache_lm_aux=1.0 (RESULTS.md, "
+              f"benchmarks/midi_scale.json)", flush=True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     if cfg.pipeline == "host" and cfg.task != "episodic":
         sys.exit("pipeline: host supports only task: episodic — use "

@@ -218,3 +218,24 @@ def test_checkpoint_hparam_mismatch_warns(workspace, tmp_path, capsys):
                         "--set", "support_mode=mean_state"))
     out = capsys.readouterr().out
     assert "support_mode='state'" in out and "warning" in out
+
+
+def test_small_vocab_cache_starvation_warning(workspace, tmp_path, capsys):
+    """support_cache + small vocab + cache_lm_aux=0 must warn about the
+    measured mixture-gradient-starvation regime (RESULTS.md, the
+    collapsed midi_scale.json plain_cache leg); setting the aux weight
+    silences it."""
+    ck = str(tmp_path / "ck")
+    train_main(_args(workspace, "--checkpt_dir", ck, "--set",
+                     "support_cache=true", "max_steps=4",
+                     "eval_interval=2", "checkpoint_interval=2",
+                     "log_interval=2"))
+    out = capsys.readouterr().out
+    assert "gradient starvation" in out and "cache_lm_aux" in out
+
+    train_main(_args(workspace, "--checkpt_dir", str(tmp_path / "ck2"),
+                     "--set", "support_cache=true", "cache_lm_aux=1.0",
+                     "max_steps=4", "eval_interval=2",
+                     "checkpoint_interval=2", "log_interval=2"))
+    out = capsys.readouterr().out
+    assert "gradient starvation" not in out
