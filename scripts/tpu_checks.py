@@ -342,7 +342,16 @@ def prefix_attention_parity(shapes) -> bool:
 
 
 def prefix_attention_bench(b=16, q=5, lq=192, nh=4, hd=32, p=960, iters=20):
-    """Train-like fwd+bwd through the episodic attention: einsum vs fused."""
+    """Train-like fwd+bwd through the episodic attention: einsum vs fused.
+
+    Also prints the REQUIRED-work efficiency: scores+out are
+    2*2*B*Q*Lq*(P+Lq)*nh*hd matmul FLOPs forward, exact backward = 2x fwd
+    (the fused kernel's score recompute in its VJP is deliberately not
+    credited), so GF/s here divides required FLOPs by measured wall — the
+    same conservative convention as trace_audit's MFU.  r4 context: the
+    whole-step transformer trace put the attention custom-VJP pairs at
+    ~15% of MXU peak (ROADMAP round-5 candidate #1); this bench isolates
+    the kernel at any shape to target that."""
     import jax
     import jax.numpy as jnp
     from fewshot.ops.prefix_attention import (prefix_attention,
@@ -353,6 +362,7 @@ def prefix_attention_bench(b=16, q=5, lq=192, nh=4, hd=32, p=960, iters=20):
     args += [jnp.asarray(rng.randn(b, p, nh, hd), dt) for _ in range(2)]
     qmask = jnp.arange(lq)[None, None] < jnp.full((b, q, 1), lq - 7)
     pmask = jnp.arange(p)[None] < jnp.full((b, 1), p - 11)
+    req_gf = 3 * 2 * 2 * b * q * lq * (p + lq) * nh * hd / 1e9
 
     for name, fn in [("einsum", prefix_attention_reference),
                      ("fused", prefix_attention)]:
@@ -369,7 +379,9 @@ def prefix_attention_bench(b=16, q=5, lq=192, nh=4, hd=32, p=960, iters=20):
         jax.block_until_ready(g)
         dt_s = (time.perf_counter() - t0) / iters
         print(f"prefix-attn {name}: {dt_s*1e3:.2f} ms fwd+bwd "
-              f"(B={b} Q={q} Lq={lq} P={p})", flush=True)
+              f"(B={b} Q={q} Lq={lq} P={p} nh={nh} hd={hd}) "
+              f"required {req_gf:.1f} GF -> {req_gf / dt_s / 1e3:.1f} TF/s",
+              flush=True)
 
 
 def head_ce_parity(shapes) -> bool:
@@ -495,6 +507,10 @@ def main(argv=None) -> None:
     stack_bench()
     stack_bench(t=255)
     prefix_attention_bench()
+    # the flagship episodic shape (V=5000 scale legs / bench.py corpus):
+    # the r4 whole-step trace puts the attention pairs at ~15% of peak
+    # here — the isolated number is the r5 tuning baseline
+    prefix_attention_bench(b=32, q=5, lq=95, nh=2, hd=128, p=480)
 
 
 if __name__ == "__main__":
