@@ -33,12 +33,15 @@ sys.path.insert(0, str(REPO))
 
 def make_decomposed_eval(cfg, data, split, slash_id: int):
     """Jitted (params, key) -> per-bin (nll_sum, count, gate_sum) stacks
-    + per-position word-NLL sums.  Mirrors lm.episodic_nll_stats' LSTM
-    mean_state + support_cache (+ fused head) eval path exactly."""
+    + per-position word-NLL sums.  Mirrors lm.episodic_nll_stats'
+    mean_state + support_cache (+ fused head) eval path exactly, for
+    either model family (cfg.model: the LSTM state path or the
+    transformer prefix-attention path)."""
     import jax
     import jax.numpy as jnp
     from fewshot.data import episodes as eps
     from fewshot.models import lm
+    from fewshot.models import transformer as tfm_mod
     from fewshot.data.vocab import EOS
 
     @jax.jit
@@ -53,14 +56,28 @@ def make_decomposed_eval(cfg, data, split, slash_id: int):
         v_total = params["embed"].shape[0]
         fused = lm.fused_head_eligible(params, cfg, v_total)
 
-        state = lm.support_state(params, ep.support, ep.support_len, cfg,
-                                 eval_mode=True)
-        state = [(jnp.repeat(h, q_, axis=0), jnp.repeat(c, q_, axis=0))
-                 for h, c in state]
-        logits, _, hidden = lm.lm_logits(params, flat_inputs, cfg,
-                                         mask=flat_mask, state=state,
-                                         eval_mode=True, with_hidden=True,
-                                         no_head=fused)
+        if cfg.model == "transformer":
+            bk, k_, sl = ep.support.shape
+            prefix = ep.support.reshape(b, k_ * sl)
+            prefix_mask = (jnp.arange(sl) <
+                           ep.support_len[..., None]).reshape(b, k_ * sl)
+            hidden = tfm_mod.transformer_prefix_forward(
+                params["transformer"], lm.embed(params, prefix),
+                prefix_mask,
+                lm.embed(params, flat_inputs).reshape(b, q_, l_ - 1, -1),
+                mask, cfg)
+            hidden = hidden.reshape(b * q_, l_ - 1, -1)
+            logits = None if fused else lm.head_logits(params, hidden, cfg)
+        else:
+            state = lm.support_state(params, ep.support, ep.support_len,
+                                     cfg, eval_mode=True)
+            state = [(jnp.repeat(h, q_, axis=0),
+                      jnp.repeat(c, q_, axis=0)) for h, c in state]
+            logits, _, hidden = lm.lm_logits(params, flat_inputs, cfg,
+                                             mask=flat_mask, state=state,
+                                             eval_mode=True,
+                                             with_hidden=True,
+                                             no_head=fused)
         counts = lm.support_counts(ep.support, ep.support_len, v_total)
         log_cache = lm.support_log_cache(params, ep.support,
                                          ep.support_len, v_total)
@@ -119,6 +136,11 @@ def main(argv=None) -> None:
     p.add_argument("--eval_episodes", type=int, default=512)
     p.add_argument("--cache_calib", action="store_true",
                    help="decompose the learned count-calibration leg")
+    p.add_argument("--model", default="lstm",
+                   choices=("lstm", "transformer"),
+                   help="model family to retrain + decompose (r4: the "
+                        "transformer cache stack is the best model — "
+                        "where do ITS remaining nats live?)")
     args = p.parse_args(argv)
 
     from fewshot.utils.cache import enable_compilation_cache
@@ -134,6 +156,7 @@ def main(argv=None) -> None:
     corpus = PackedCorpus.load(args.corpus_dir)
     cfg = Config(vocab_size=len(corpus.vocab), max_len=corpus.max_len,
                  embed_dim=256, hidden_dim=512, num_layers=2,
+                 model=args.model,
                  batch_size=32, support_size=5, query_size=5, lr=1e-3,
                  support_mode="mean_state", cell="pallas",
                  support_cache=True, cache_backoff="global",
@@ -215,6 +238,7 @@ def main(argv=None) -> None:
                     "hyperparams, early stopping), decomposed test eval "
                     "over the same episode sampler; gate = mean "
                     "sigmoid(cache gate) over the bin",
+        "model_family": args.model,
         "cache_calib": args.cache_calib,
         "best_val_nll": round(best["val"], 4),
         "best_step": best["step"],
