@@ -13,13 +13,18 @@ BASELINE.json:2,7) on the tight-packed L=96 bench corpus (see BENCH_CORPUS
 note below).  Batch size 32 episodes/step on one chip.
 
 Env knobs: BENCH_CELL=scan|pallas (default pallas), BENCH_STEPS, BENCH_BATCH,
-BENCH_SPC (steps_per_call chunking, default 10; 1 = per-step dispatch).
+BENCH_SPC (steps_per_call chunking, default 10; 1 = per-step dispatch),
+BENCH_PROBE_WAIT_S (device-probe budget, default 300 — kept well under the
+driver's timeout window so a down tunnel yields a diagnostic JSON line,
+never an empty artifact; r4's BENCH_r04.json was rc=124/tail="" because
+the old 1800s probe + compile outlasted the window).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
@@ -46,35 +51,57 @@ def ensure_corpus():
                                    max_len=0, seed=0)
 
 
-def wait_for_device(max_wait_s: int = 1800) -> None:
+def wait_for_device(max_wait_s: int | None = None) -> bool:
     """Ride out transient TPU-tunnel outages (bounded).
 
     The axon relay occasionally reports UNAVAILABLE for a stretch (observed
     multi-hour outages); a failed backend init is cached for the process
     lifetime, so probe in SUBPROCESSES until one sees the device, then let
-    the real import proceed.  No-op when the device is healthy (~2s)."""
+    the real import proceed.  No-op when the device is healthy (~2s).
+
+    Returns True when a probe saw the device, False when the budget ran out
+    — callers that must NEVER produce an empty artifact (the driver runs
+    this script under its own timeout) emit a diagnostic record on False
+    instead of letting the real jax init block for another ~25 min."""
     import subprocess
-    import sys
+    if max_wait_s is None:
+        max_wait_s = int(os.environ.get("BENCH_PROBE_WAIT_S", "300"))
     deadline = time.time() + max_wait_s
     probe = ("import jax, jax.numpy as jnp; "
              "x = jnp.ones((8, 8)); print(float((x @ x).sum()))")
     while True:
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True, timeout=600)
+                               capture_output=True,
+                               timeout=max(60, min(600, max_wait_s)))
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() > deadline:
             print("bench: device still unavailable after "
                   f"{max_wait_s}s of probing", file=sys.stderr)
-            return     # let the real run surface the actual error
-        time.sleep(60)
+            return False
+        time.sleep(30)
 
 
 def main() -> None:
-    wait_for_device()
+    t_start = time.time()
+    print(f"bench: start (probe budget "
+          f"{os.environ.get('BENCH_PROBE_WAIT_S', '300')}s)",
+          file=sys.stderr, flush=True)
+    if not wait_for_device():
+        # Explicit diagnostic line so the driver's parsed artifact is never
+        # null without a reason it can read (r4 verdict item #2).
+        print(json.dumps({
+            "metric": "train_episodes_per_sec",
+            "value": None,
+            "unit": "episodes/sec",
+            "vs_baseline": None,
+            "device_unavailable": True,
+            "probe_waited_s": round(time.time() - t_start, 1),
+        }), flush=True)
+        return
     import jax
     from fewshot.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -108,10 +135,14 @@ def main() -> None:
         training.make_train_step(cfg, data, split), spc)
     n_calls = max(1, steps // spc)
 
+    print(f"bench: corpus+state ready at +{time.time() - t_start:.0f}s, "
+          "compiling", file=sys.stderr, flush=True)
     # warmup: compile + settle
     for _ in range(2):
         state, metrics = step(state)
     jax.block_until_ready(metrics["loss"])
+    print(f"bench: compiled at +{time.time() - t_start:.0f}s, timing",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(n_calls):
@@ -142,7 +173,7 @@ def main() -> None:
         m = json.loads(matched.read_text())
         rec["matched_nll_target"] = m["target_val_nll"]
         rec["speedup_to_matched_nll"] = m["speedup_time_to_matched_nll"]
-    print(json.dumps(rec))
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -83,18 +83,25 @@ def train_main(argv=None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if (cfg.support_cache and cfg.cache_lm_aux == 0
-            and len(corpus.vocab) <= 1024):
+            and corpus.vocab is not None):
         # Measured starvation regime (benchmarks/midi_scale.json leg
-        # plain_cache, RESULTS.md): at small vocabs the K-shot count
-        # posterior is near-optimal at init, the gate routes to it, and
-        # the LM branch's mixture gradient is scaled to ~1% — training
-        # silently freezes at the unigram floor.  Warn, don't refuse:
-        # the regime boundary is corpus-dependent.
-        print(f"warning: support_cache with a small vocab "
-              f"(V={len(corpus.vocab)}) and cache_lm_aux=0 risks mixture "
-              f"gradient starvation (training freezes at the unigram "
-              f"floor) — consider --set cache_lm_aux=1.0 (RESULTS.md, "
-              f"benchmarks/midi_scale.json)", flush=True)
+        # plain_cache, RESULTS.md): when the K support songs already cover
+        # ~all query tokens, the count posterior is near-optimal at init,
+        # the gate routes to it, and the LM branch's mixture gradient is
+        # scaled to ~1% — training silently freezes at the unigram floor.
+        # Keyed on the MECHANISM (measured support coverage of query
+        # targets), not a vocab-size proxy: MIDI plain/BPE sit at
+        # 1.00/0.99 coverage (both collapse without the aux loss), lyrics
+        # V=5000..20000 at 0.67-0.80 (safe).  Warn, don't refuse.
+        from fewshot.data.corpus import support_coverage_estimate
+        cov = support_coverage_estimate(corpus, cfg.support_size)
+        if cov >= 0.95:
+            print(f"warning: support_cache with measured support coverage "
+                  f"{cov:.3f} of query tokens (V={len(corpus.vocab)}) and "
+                  f"cache_lm_aux=0 risks mixture gradient starvation "
+                  f"(training freezes at the unigram floor) — consider "
+                  f"--set cache_lm_aux=1.0 (RESULTS.md, "
+                  f"benchmarks/midi_scale.json)", flush=True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     if cfg.pipeline == "host" and cfg.task != "episodic":
         sys.exit("pipeline: host supports only task: episodic — use "

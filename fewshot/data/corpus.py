@@ -144,6 +144,49 @@ class PackedCorpus:
         }
 
 
+def support_coverage_estimate(corpus: PackedCorpus, k: int,
+                              split: str = "train", n_episodes: int = 256,
+                              seed: int = 0) -> float:
+    """Monte-Carlo estimate of support-count coverage of query tokens.
+
+    The measured mixture-starvation regime (RESULTS.md MIDI section,
+    benchmarks/midi_scale.json leg plain_cache) is NOT "small vocab" per se —
+    it is "the K-shot count posterior is already near-optimal at init",
+    whose first-order driver is the fraction of query TARGET tokens that
+    appear somewhere in the K support songs (then the gate routes to the
+    count branch and the LM branch's gradient is scaled to ~nothing).  This
+    samples episodes the same way the device sampler does (artist -> K+1
+    distinct songs when available) and returns the mean covered fraction,
+    so the train CLI can key its warning on the mechanism instead of a
+    vocab-size proxy.  Host-side numpy; ~10ms at n_episodes=256.
+    """
+    rng = np.random.default_rng(seed)
+    artists = corpus.splits.get(split)
+    if artists is None or len(artists) == 0:
+        return 0.0
+    # need at least 2 songs to form support + query (sampler reuses songs
+    # when an artist has < k+1, which only raises coverage; we mirror that)
+    artists = [a for a in np.asarray(artists)
+               if corpus.artist_num_songs[a] >= 2]
+    if not artists:
+        return 0.0
+    covered = total = 0
+    for _ in range(n_episodes):
+        a = artists[rng.integers(len(artists))]
+        n = int(corpus.artist_num_songs[a])
+        ids = corpus.artist_song_ids[a, :n]
+        pick = rng.choice(n, size=min(k + 1, n), replace=False)
+        sup, q = ids[pick[:-1]], ids[pick[-1]]
+        sup_tokens = np.unique(corpus.songs[sup][
+            np.arange(corpus.max_len) < corpus.song_len[sup][:, None]])
+        # targets are positions 1..len-1 (BOS is never a target)
+        qlen = int(corpus.song_len[q])
+        q_targets = corpus.songs[q, 1:qlen]
+        covered += int(np.isin(q_targets, sup_tokens).sum())
+        total += q_targets.size
+    return covered / max(total, 1)
+
+
 def make_splits(num_artists: int, seed: int = 0,
                 fracs: dict[str, float] = SPLIT_FRACS) -> dict[str, np.ndarray]:
     """Deterministic artist-level split (reference split script, SURVEY §2).

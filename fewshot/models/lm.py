@@ -629,8 +629,13 @@ def support_state(params: dict, support: jax.Array, support_len: jax.Array,
 
 
 def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
-    """Query-set NLL/token for a meta-batch of episodes (the metric)."""
-    total, count = episodic_nll_stats(params, ep, cfg)
+    """Query-set NLL/token for a meta-batch of episodes (the metric).
+
+    eval_mode=True: this is a metric, never differentiated, and it must
+    report the PURE mixture CE — without it a cfg.cache_lm_aux > 0 config
+    would fold the train-only auxiliary LM-branch CE into the reported
+    number (advisor r4)."""
+    total, count = episodic_nll_stats(params, ep, cfg, eval_mode=True)
     return total / jnp.maximum(count, 1.0)
 
 

@@ -220,22 +220,59 @@ def test_checkpoint_hparam_mismatch_warns(workspace, tmp_path, capsys):
     assert "support_mode='state'" in out and "warning" in out
 
 
-def test_small_vocab_cache_starvation_warning(workspace, tmp_path, capsys):
-    """support_cache + small vocab + cache_lm_aux=0 must warn about the
-    measured mixture-gradient-starvation regime (RESULTS.md, the
-    collapsed midi_scale.json plain_cache leg); setting the aux weight
-    silences it."""
-    ck = str(tmp_path / "ck")
-    train_main(_args(workspace, "--checkpt_dir", ck, "--set",
-                     "support_cache=true", "max_steps=4",
+def test_cache_starvation_warning_keyed_on_coverage(workspace, tmp_path,
+                                                    capsys):
+    """support_cache + cache_lm_aux=0 must warn about the measured
+    mixture-gradient-starvation regime (RESULTS.md, the collapsed
+    midi_scale.json plain_cache leg) — keyed on MEASURED support coverage
+    of query tokens, not a vocab-size proxy (r4 verdict weak #6): the
+    mechanism is "count posterior near-optimal at init", which a
+    small-vocab/low-coverage corpus does NOT trigger.  Setting the aux
+    weight silences it."""
+    # the workspace corpus is SMALL-VOCAB (V=128) but LOW-COVERAGE
+    # (~0.73 at k=2, truncated 24-token songs): must NOT warn — this is
+    # exactly the case the old V<=1024 proxy got wrong.
+    train_main(_args(workspace, "--checkpt_dir", str(tmp_path / "ck_low"),
+                     "--set", "support_cache=true", "max_steps=4",
                      "eval_interval=2", "checkpoint_interval=2",
                      "log_interval=2"))
     out = capsys.readouterr().out
+    assert "gradient starvation" not in out
+
+    # high-coverage corpus (long songs from a tiny shared pool, like the
+    # MIDI event stream): coverage ~1.0 -> must warn...
+    from fewshot.data.corpus import (build_lyrics_corpus,
+                                     support_coverage_estimate)
+    import csv as _csv
+    import numpy as np
+    rng = np.random.default_rng(0)
+    pool = [f"w{i}" for i in range(40)]
+    csv_path = tmp_path / "hc.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["artist", "song", "lyrics"])
+        for a in range(8):
+            for s in range(6):
+                words = rng.choice(pool, size=120)
+                w.writerow([f"a{a}", f"s{s}", " ".join(words)])
+    corpus = build_lyrics_corpus(csv_path, tmp_path / "hc_corpus",
+                                 vocab_size=128, max_len=128)
+    assert support_coverage_estimate(corpus, 2) >= 0.95
+    hc_args = ["--data", str(workspace / "data.yaml"),
+               "--model", str(workspace / "model.yaml"),
+               "--task", str(workspace / "task.yaml"),
+               "--checkpt_dir", str(tmp_path / "ck_hi"),
+               "--set", f"corpus_dir={tmp_path / 'hc_corpus'}",
+               "max_len=128", "support_cache=true", "max_steps=4",
+               "eval_interval=2", "checkpoint_interval=2",
+               "log_interval=2"]
+    train_main(hc_args)
+    out = capsys.readouterr().out
     assert "gradient starvation" in out and "cache_lm_aux" in out
 
-    train_main(_args(workspace, "--checkpt_dir", str(tmp_path / "ck2"),
-                     "--set", "support_cache=true", "cache_lm_aux=1.0",
-                     "max_steps=4", "eval_interval=2",
-                     "checkpoint_interval=2", "log_interval=2"))
+    # ...and the aux weight silences it.
+    train_main([a if a != str(tmp_path / "ck_hi") else
+                str(tmp_path / "ck_hi2") for a in hc_args]
+               + ["cache_lm_aux=1.0"])
     out = capsys.readouterr().out
     assert "gradient starvation" not in out
