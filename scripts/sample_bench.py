@@ -5,16 +5,29 @@ The reference's sampler did one sess.run + host softmax + numpy choice per
 token (SURVEY.md §4.3) — latency-bound at host RPC speed.  Ours is a single
 lax.scan program per batch.
 
-r2 verdict #6: the throughput was quoted as a 2.4x session band (14-34M
-tok/s) with no pinned, repeatable artifact.  This script measures with the
-repo's benchmark hygiene (fixed seed, warm TWICE, block_until_ready
-brackets, several repeats per session) and APPENDS each session to
-benchmarks/sample_bench.json, recomputing the cross-session median and
-band — the quoted number is the median, the band is honest tunnel
-variance.
+PROTOCOL REV 2 (r5).  The rev-1 sessions recorded in rounds 2-4 (medians
+14.6-43M tok/s) are RETIRED as relay timing artifacts: they are
+physically impossible (one decode step is ~400 MFLOP — two 512-wide gate
+matmuls plus a [32,512]@[512,5000] head — so 43M tok/s would need ~500
+TF/s on a 197 TF/s-peak chip), they do not reproduce (the identical loop
+re-run fresh in r5 reads 1.0-1.8M tok/s), and the r5 device trace pins
+one 8192-token batch at ~1.93 ms on-chip (= 4.25M tok/s).  A sync probe
+(scripts/sample_sync_probe*.py, benchmarks/sample_sync_probe*.json)
+verified the primitives: dispatch is async (~0.8 ms), and a SINGLE
+dispatch + block_until_ready does synchronize (tunnel-RTT ~24 ms +
+device ~1.9 ms) — but under queue depth the relay acks readiness
+optimistically: the first rev-2 session's 40-batch brackets still read
+an impossible 32M tok/s wall while its device trace reproduced the
+on-chip rate to 11 ppm (4,250,243 vs 4,250,289 tok/s).  So wall-bracket
+numbers through this relay are NOT trustworthy at any bracket size;
+rev 2 (a) records the device-trace tokens/device-second as the ONLY
+quotable metric, (b) keeps the wall columns in the artifact purely as a
+relay-behavior record, and (c) computes medians over rev-2 sessions
+only, keeping the rev-1 rows under "sessions_retired_rev1" as the
+record of the correction.
 
 Env knobs: SB_BATCH (32), SB_TOKENS (256), SB_CELL (pallas|scan),
-SB_REPEATS (5).  `--no_record` skips the artifact update.
+SB_REPEATS (5), SB_ITERS (40).  `--no_record` skips the artifact update.
 """
 
 from __future__ import annotations
@@ -46,6 +59,7 @@ def main() -> None:
     n_tokens = int(os.environ.get("SB_TOKENS", "256"))
     cell = os.environ.get("SB_CELL", "pallas")
     repeats = int(os.environ.get("SB_REPEATS", "5"))
+    bracket_iters = int(os.environ.get("SB_ITERS", "40"))
 
     corpus = ensure_corpus()
     cfg = Config(vocab_size=5000, max_len=256, embed_dim=256, hidden_dim=512,
@@ -64,10 +78,13 @@ def main() -> None:
                                  jax.random.PRNGKey(seed), cfg,
                                  early_exit=early_exit)
 
-    def measure(early_exit, iters=10):
+    def measure(early_exit, iters=None):
         """Median-of-`repeats` timing; warm TWICE before the clock (the
         first post-compile call can recompile on a sharding change —
-        CLAUDE.md benchmark hygiene)."""
+        CLAUDE.md benchmark hygiene).  The bracket is large so the one
+        synchronizing tunnel round-trip (~24 ms) amortizes against the
+        device work (~1.9 ms/batch) — rev-2 protocol."""
+        iters = bracket_iters if iters is None else iters
         for _ in range(2):
             toks = run(0, early_exit)
         jax.block_until_ready(toks)
@@ -87,15 +104,18 @@ def main() -> None:
     tps_samples = measure(early_exit=False)
     ee_samples = measure(early_exit=True)
     session = {
+        "protocol_rev": 2,
+        "bracket_iters": bracket_iters,
         "scan_tps": [round(s, 0) for s in tps_samples],
         "scan_tps_median": round(statistics.median(tps_samples), 0),
         "early_exit_worst_case_tps_median": round(
             statistics.median(ee_samples), 0),
     }
 
-    # device-time companion metric (r4 verdict weak #5): tokens per DEVICE
-    # second from a profiler trace — the wall-clock medians above move with
-    # tunnel weather (honest band spans 2.5x); the on-chip number does not.
+    # HEADLINE metric since rev 2: tokens per DEVICE second from a profiler
+    # trace — it cannot be faked by relay/dispatch behavior and it is what
+    # the chip actually sustains; the wall medians above carry the tunnel
+    # RTT and converge to it from below as the bracket grows.
     import tempfile
     from scripts.trace_audit import parse_trace
     trace_iters = 10
@@ -114,26 +134,39 @@ def main() -> None:
 
     if "--no_record" not in sys.argv:
         doc = json.loads(ARTIFACT.read_text()) if ARTIFACT.exists() else {}
-        if "sessions" not in doc:
-            doc = {
-                "protocol": {
-                    "shape": f"B={batch} n_tokens={n_tokens} "
-                             f"lstm512x2/{cell} support-primed top-k=40",
-                    "method": f"fixed seeds, warm twice, "
-                              f"{repeats} repeats x 10 batches per "
-                              "session, block_until_ready brackets; "
-                              "quoted value = median over all recorded "
-                              "sessions (tunnel variance is real; the "
-                              "band is min..max of session medians)",
-                },
-                "sessions": [],
-            }
+        old = doc.get("sessions", [])
+        rev1 = ([s for s in old if s.get("protocol_rev", 1) < 2]
+                + doc.get("sessions_retired_rev1", []))
+        doc = {
+            "protocol": {
+                "shape": f"B={batch} n_tokens={n_tokens} "
+                         f"lstm512x2/{cell} support-primed top-k=40",
+                "method": "REV 2 (r5): headline = tokens per device-second "
+                          "from a profiler trace (10 batches, XLA-Ops lane, "
+                          "self-time attribution); wall companion = fixed "
+                          f"seeds, warm twice, {repeats} repeats x "
+                          f"{bracket_iters}-batch brackets, "
+                          "block_until_ready (verified synchronizing — "
+                          "benchmarks/sample_sync_probe2.json), one ~24 ms "
+                          "tunnel RTT amortized per bracket; medians over "
+                          "rev-2 sessions only",
+                "rev1_retirement": "rounds 2-4 wall sessions (medians "
+                          "14.6-43M tok/s) retired: physically impossible "
+                          "(>2.5x the 197 TF/s bf16 peak at ~400 MFLOP per "
+                          "decode step), irreproducible (same loop fresh "
+                          "in r5: 1.0-1.8M), contradicted by the device "
+                          "trace (~1.93 ms per 8192-token batch); kept "
+                          "below as the record of the correction",
+            },
+            "sessions": [s for s in old if s.get("protocol_rev", 1) >= 2],
+            "sessions_retired_rev1": rev1,
+        }
         doc["sessions"].append(session)
         meds = [s["scan_tps_median"] for s in doc["sessions"]]
         ee = [s["early_exit_worst_case_tps_median"]
               for s in doc["sessions"]]
-        doc["tokens_per_sec_median"] = statistics.median(meds)
-        doc["tokens_per_sec_band"] = [min(meds), max(meds)]
+        doc["wall_tokens_per_sec_median"] = statistics.median(meds)
+        doc["wall_tokens_per_sec_band"] = [min(meds), max(meds)]
         doc["early_exit_worst_case_median"] = statistics.median(ee)
         dev = [s["device_tps"] for s in doc["sessions"] if "device_tps" in s]
         if dev:
@@ -143,12 +176,14 @@ def main() -> None:
         ARTIFACT.write_text(json.dumps(doc, indent=1))
 
     print(json.dumps({
-        "metric": "sample_tokens_per_sec",
-        "value": session["scan_tps_median"],
-        "unit": f"tokens/sec (1 chip, B={batch}, n={n_tokens}, "
+        "metric": "sample_tokens_per_sec_device",
+        "value": session.get("device_tps"),
+        "unit": f"tokens/device-sec (1 chip, B={batch}, n={n_tokens}, "
                 f"lstm512x2/{cell}, support-primed)",
-        "per_stream_us_per_token": round(
-            1e6 * batch / session["scan_tps_median"], 2),
+        "per_stream_us_per_token_device": (
+            round(1e6 * batch / session["device_tps"], 2)
+            if "device_tps" in session else None),
+        "wall_tps_median": session["scan_tps_median"],
         "early_exit_worst_case_tps": session[
             "early_exit_worst_case_tps_median"],
     }))
