@@ -87,6 +87,21 @@ class Config:
                                      # freezing the LSTM at the floor
                                      # (benchmarks/midi_scale.json leg
                                      # plain_cache, RESULTS.md)
+    cache_resp_floor: float = 0.0    # floor on the LM branch's per-position
+                                     # mixture-gradient multiplier during
+                                     # TRAINING only: the loss VALUE stays
+                                     # the pure mixture everywhere, but
+                                     # positions whose LM posterior
+                                     # responsibility r_lm falls below the
+                                     # floor get their LM-branch gradient
+                                     # lifted to max(r_lm, floor) via a
+                                     # zero-valued stop-gradient term (see
+                                     # models/lm.py cache_mix_stats).
+                                     # Exactly inert (value AND gradient)
+                                     # wherever r_lm >= floor — the
+                                     # property cache_lm_aux lacks.
+                                     # Pre-registered 2-seed x 2-regime
+                                     # study: ROADMAP.md r5 ledger #2
     inner_steps: int = 3             # finetune: SGD steps on the support set
     inner_lr: float = 0.1            # finetune: inner-loop learning rate
     first_order: bool = True         # finetune: FOMAML (stop-grad inner grads)
@@ -182,6 +197,14 @@ class Config:
             raise ValueError(
                 "config: cache_lm_aux requires support_cache: true (it "
                 "is the mixture's auxiliary LM-branch loss)")
+        if not 0.0 <= self.cache_resp_floor < 1.0:
+            raise ValueError(
+                "config: cache_resp_floor must be in [0, 1) (it is a "
+                "floor on a posterior responsibility)")
+        if self.cache_resp_floor > 0 and not self.support_cache:
+            raise ValueError(
+                "config: cache_resp_floor requires support_cache: true "
+                "(it floors the mixture's LM-branch gradient)")
         if self.cache_calib_freq and not (
                 self.cache_calib and self.cache_backoff == "global"):
             raise ValueError(

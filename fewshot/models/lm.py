@@ -479,7 +479,8 @@ def cache_mixed_logp(params: dict, logits: jax.Array, hidden: jax.Array,
 
 def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
                     log_cache: jax.Array, targets: jax.Array,
-                    mask: jax.Array, lm_aux: float = 0.0
+                    mask: jax.Array, lm_aux: float = 0.0,
+                    resp_floor: float = 0.0
                     ) -> tuple[jax.Array, jax.Array]:
     """(sum CE, count) under the cache mixture, WITHOUT materializing the
     [.., V] mixture: CE only needs the mixture's log-prob at the TARGET
@@ -499,7 +500,8 @@ def cache_token_nll(params: dict, logits: jax.Array, hidden: jax.Array,
         cache_t = jnp.einsum("rtv,rv->rt", hot, log_cache)
     else:
         cache_t = jnp.take_along_axis(log_cache, targets, axis=-1)
-    return cache_mix_stats(params, hidden, lm_t, cache_t, mask, lm_aux)
+    return cache_mix_stats(params, hidden, lm_t, cache_t, mask, lm_aux,
+                           resp_floor)
 
 
 def lm_target_logp(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -519,7 +521,8 @@ def lm_target_logp(logits: jax.Array, targets: jax.Array) -> jax.Array:
 
 def cache_mix_stats(params: dict, hidden: jax.Array, lm_t: jax.Array,
                     cache_t: jax.Array, mask: jax.Array,
-                    lm_aux: float = 0.0) -> tuple[jax.Array, jax.Array]:
+                    lm_aux: float = 0.0,
+                    resp_floor: float = 0.0) -> tuple[jax.Array, jax.Array]:
     """(sum CE, count) of the gated mixture given the two branches' target
     log-probs (lm_t from logits or the fused head kernel; cache_t from the
     support posterior).
@@ -534,12 +537,34 @@ def cache_mix_stats(params: dict, hidden: jax.Array, lm_t: jax.Array,
     at the unigram floor (the collapsed plain_cache leg in
     benchmarks/midi_scale.json).  The auxiliary term gives the LM branch
     its full-strength gradient regardless of the gate; the gate still
-    arbitrates the mixture the metric scores."""
+    arbitrates the mixture the metric scores.
+
+    resp_floor > 0 (cfg.cache_resp_floor, TRAIN steps only) is the
+    surgical alternative: the mixture CE's gradient w.r.t. lm_t is
+    -r_lm, the branch's posterior responsibility
+    r_lm = (1-g)*p_lm(tgt)/p_mix(tgt); the floor lifts that per-position
+    multiplier to max(r_lm, floor) by adding the ZERO-VALUED term
+        relu(floor - sg(r_lm)) * (lm_t - sg(lm_t))
+    to mixed_t.  The loss VALUE stays the pure mixture everywhere
+    (second factor is identically 0), and wherever r_lm >= floor the
+    term is exactly zero in value AND gradient (relu clamps the
+    coefficient to 0) — the inertness property lm_aux lacks (lm_aux
+    adds a full-strength bare-LM CE even where the mixture is healthy,
+    measured -0.02 nats at V=20k).  Pre-registered 2-seed x 2-regime
+    study: ROADMAP.md r5 ledger #2; pinned by tests/test_cache_head.py.
+    """
     z = (jnp.tensordot(hidden.astype(jnp.float32),
                        params["cache_gate"]["w"], axes=([-1], [0]))
          + params["cache_gate"]["b"])
     mixed_t = jnp.logaddexp(jax.nn.log_sigmoid(-z) + lm_t,
                             jax.nn.log_sigmoid(z) + cache_t)
+    if resp_floor:
+        # r_lm computed from the PURE mixture (pre-aux), under
+        # stop_gradient: the coefficient is data, not a learnable path.
+        r_lm = jax.lax.stop_gradient(
+            jnp.exp(jax.nn.log_sigmoid(-z) + lm_t - mixed_t))
+        coef = jax.nn.relu(resp_floor - r_lm)
+        mixed_t = mixed_t + coef * (lm_t - jax.lax.stop_gradient(lm_t))
     if lm_aux:
         mixed_t = mixed_t + lm_aux * lm_t
     m = mask.astype(jnp.float32)
@@ -641,7 +666,8 @@ def episodic_nll(params: dict, ep: Episode, cfg) -> jax.Array:
 
 def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
                                 dropout_key: jax.Array | None = None,
-                                lm_aux: float = 0.0
+                                lm_aux: float = 0.0,
+                                resp_floor: float = 0.0
                                 ) -> tuple[jax.Array, jax.Array]:
     """Fine-tune episodic variant (SURVEY.md §2 "LSTM LM baseline
     (+ fine-tune variant)"): per episode, take cfg.inner_steps SGD steps on
@@ -699,12 +725,12 @@ def finetune_episodic_nll_stats(params: dict, ep: Episode, cfg,
                 jnp.repeat(phi, q_, axis=0), jnp.repeat(total, q_, axis=0),
                 s, p_global, targets, mask)
             return cache_mix_stats(p, hidden, lm_target_logp(logits, targets),
-                                   cache_t, mask, lm_aux)
+                                   cache_t, mask, lm_aux, resp_floor)
         log_cache = support_log_cache(p, support[None], support_len[None],
                                       v_total)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
         return cache_token_nll(p, logits, hidden, log_cache, targets, mask,
-                               lm_aux)
+                               lm_aux, resp_floor)
 
     b = ep.support.shape[0]
     dkeys = (jax.random.split(dropout_key, b)
@@ -731,9 +757,10 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
     (see cache_mix_stats) shapes TRAIN gradients only; every eval NLL
     reported anywhere is the pure mixture."""
     lm_aux = 0.0 if eval_mode else cfg.cache_lm_aux
+    resp_floor = 0.0 if eval_mode else cfg.cache_resp_floor
     if cfg.support_mode == "finetune":
         return finetune_episodic_nll_stats(params, ep, cfg, dropout_key,
-                                           lm_aux)
+                                           lm_aux, resp_floor)
     b, q_, l_ = ep.query.shape
     inputs, targets, mask = shift_targets(ep.query, ep.query_len)
     flat_inputs = inputs.reshape(b * q_, l_ - 1)
@@ -805,7 +832,7 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             else:
                 lm_t = lm_target_logp(logits, flat_targets)
             return cache_mix_stats(params, hidden, lm_t, cache_t,
-                                   flat_mask, lm_aux)
+                                   flat_mask, lm_aux, resp_floor)
         log_cache = support_log_cache(params, ep.support, ep.support_len,
                                       v_total)
         log_cache = jnp.repeat(log_cache, q_, axis=0)
@@ -813,9 +840,9 @@ def episodic_nll_stats(params: dict, ep: Episode, cfg,
             lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
             cache_t = jnp.take_along_axis(log_cache, flat_targets, axis=-1)
             return cache_mix_stats(params, hidden, tl - lse, cache_t,
-                                   flat_mask, lm_aux)
+                                   flat_mask, lm_aux, resp_floor)
         return cache_token_nll(params, logits, hidden, log_cache,
-                               flat_targets, flat_mask, lm_aux)
+                               flat_targets, flat_mask, lm_aux, resp_floor)
     if fused:
         lse, tl = head_lse_target(params, hidden, flat_targets, cfg)
         m = flat_mask.astype(jnp.float32)

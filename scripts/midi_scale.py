@@ -48,8 +48,9 @@ def main(argv=None) -> None:
                    help="stop after the offline tier (no TPU work)")
     p.add_argument("--legs", type=str, default="plain,bpe,sampling",
                    help="comma list: any of plain, bpe, plain_cache, "
-                        "plain_cache_aux, tfm, tfm_cache_aux, bpe_cache, "
-                        "bpe_cache_aux, sampling")
+                        "plain_cache_aux, tfm, tfm_cache, tfm_cache_aux, "
+                        "bpe_cache, bpe_cache_aux, plain_cache_floor, "
+                        "plain_cache_floor_s1, sampling")
     p.add_argument("--keep_existing", action="store_true",
                    help="merge with the existing artifact instead of "
                         "overwriting (re-run a subset of legs)")
@@ -131,6 +132,17 @@ def main(argv=None) -> None:
         result["tfm"] = run_leg("midi_tfm", root / "plain", args,
                                 model="transformer")
         Path(args.out).write_text(json.dumps(result, indent=1))
+    if "tfm_cache" in wanted:
+        # the starvation probe on the OTHER architecture: the full cache
+        # stack with NO aux fix — the exact configuration that froze the
+        # LSTM at the unigram floor (plain_cache leg, 2.739).  Does the
+        # attention model's faster early optimization outrun the
+        # responsibility-scaled (~1%) LM-branch gradient?
+        result["tfm_cache"] = run_leg(
+            "midi_tfm_cache", root / "plain", args, model="transformer",
+            support_cache=True, cache_backoff="global", cache_calib=True,
+            cache_dynamic=True)
+        Path(args.out).write_text(json.dumps(result, indent=1))
     if "tfm_cache_aux" in wanted:
         # does the mixture-starvation pathology (and its cache_lm_aux fix)
         # behave the same when the sequence model is attention rather than
@@ -155,6 +167,18 @@ def main(argv=None) -> None:
             cache_backoff="global", cache_calib=True, cache_dynamic=True,
             cache_lm_aux=1.0)
         Path(args.out).write_text(json.dumps(result, indent=1))
+    for tag, seed in (("plain_cache_floor", 0), ("plain_cache_floor_s1", 1)):
+        if tag in wanted:
+            # responsibility floor, STARVED half of the pre-registered
+            # 2-seed x 2-regime study (ROADMAP.md r5 ledger #2): does
+            # max(r_lm, 0.25) on the LM branch's gradient multiplier
+            # escape the collapse the no-aux leg measured (2.739 at the
+            # 2.751 floor) the way cache_lm_aux=1.0 did (1.328 +/- 0.010)?
+            result[tag] = run_leg(
+                f"midi_{tag}", root / "plain", args, seed=seed,
+                support_cache=True, cache_backoff="global",
+                cache_calib=True, cache_dynamic=True, cache_resp_floor=0.25)
+            Path(args.out).write_text(json.dumps(result, indent=1))
     if "sampling" not in wanted:
         print(json.dumps(result))
         return

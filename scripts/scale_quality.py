@@ -265,6 +265,22 @@ def main(argv=None) -> None:
         # more of what little achievable gap remains
         dict(tag="tfm_cache_full_aux", sub="plain", model="transformer",
              **full, cache_lm_aux=1.0),
+        # responsibility floor (r5, pre-registered — ROADMAP.md ledger
+        # #2): floors the LM branch's per-position mixture-gradient
+        # multiplier at max(r_lm, 0.25) with a zero-valued term; exactly
+        # inert wherever r_lm >= 0.25, the property cache_lm_aux lacks.
+        # Healthy-regime half of the 2-seed x 2-regime study (starved
+        # half: midi_scale.py plain_cache_floor{,_s1})
+        dict(tag="plain_cache_full_floor", sub="plain", **full,
+             cache_resp_floor=0.25),
+        dict(tag="plain_cache_full_floor_s1", sub="plain", **full,
+             cache_resp_floor=0.25, seed=1),
+        # follow-up on the best-quality model (queued after the healthy
+        # half measured +0.015 nats on the LSTM stack)
+        dict(tag="tfm_cache_full_floor", sub="plain", model="transformer",
+             **full, cache_resp_floor=0.25),
+        dict(tag="tfm_cache_full_floor_s1", sub="plain",
+             model="transformer", **full, cache_resp_floor=0.25, seed=1),
     ]
     if args.legs:
         wanted = set(args.legs.split(","))

@@ -428,6 +428,84 @@ def test_cache_lm_aux_requires_support_cache():
         _cfg(cache_lm_aux=-0.5)
 
 
+def test_cache_resp_floor_unsticks_starved_and_is_inert_when_healthy():
+    """The pre-registered property pair (ROADMAP.md r5 ledger #2) of
+    cache_resp_floor=f:
+
+    (a) STARVED regime (gate saturated toward the cache, b=+30, so the
+        LM branch's posterior responsibility r_lm ~ 1e-13): the floor
+        lifts the LM-branch gradient multiplier to exactly f — the grad
+        equals f * the full-strength LM-CE grad (read off via b=-30,
+        where the mixture IS the LM branch and r_lm ~ 1).
+    (b) HEALTHY regime (b=-30, r_lm ~ 1 >= f everywhere): the term is
+        exactly zero in value AND gradient — bit-level-identical grads
+        to the no-floor config.  This is the inertness cache_lm_aux
+        lacks.
+    In BOTH regimes the loss VALUE is the pure mixture."""
+    f = 0.25
+    cfg = _cfg()
+    cfg_floor = dataclasses.replace(cfg, cache_resp_floor=f)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    ep = _episode(jax.random.PRNGKey(1), cfg, cfg.vocab_size)
+
+    def grad_at(b_gate, c):
+        p = {**params, "cache_gate": {"w": params["cache_gate"]["w"],
+                                      "b": jnp.float32(b_gate)}}
+
+        def loss(pp):
+            t, n = lm.episodic_nll_stats(pp, ep, c)
+            return t / n
+        return jax.grad(loss)(p), float(loss(p))
+
+    # (a) starved: multiplier floors to exactly f
+    g_starved, v_starved = grad_at(30.0, cfg)
+    g_floor, v_floor = grad_at(30.0, cfg_floor)
+    g_lm, _ = grad_at(-30.0, cfg)
+    assert float(optax_global_norm(g_starved["lstm"])) < 1e-6
+    np.testing.assert_allclose(v_floor, v_starved, rtol=1e-6)  # pure value
+    for leaf_f, leaf_lm in zip(jax.tree.leaves(g_floor["lstm"]),
+                               jax.tree.leaves(g_lm["lstm"])):
+        np.testing.assert_allclose(np.asarray(leaf_f),
+                                   f * np.asarray(leaf_lm),
+                                   rtol=1e-4, atol=1e-8)
+
+    # (b) healthy: exactly inert, value and gradient
+    g_plain, v_plain = grad_at(-30.0, cfg)
+    g_floor_h, v_floor_h = grad_at(-30.0, cfg_floor)
+    np.testing.assert_allclose(v_floor_h, v_plain, rtol=1e-6)
+    for leaf_f, leaf_p in zip(jax.tree.leaves(g_floor_h),
+                              jax.tree.leaves(g_plain)):
+        np.testing.assert_array_equal(np.asarray(leaf_f),
+                                      np.asarray(leaf_p))
+
+
+def test_cache_resp_floor_eval_nll_is_pure_mixture():
+    """Any eval NLL with the floor on equals the floorless mixture —
+    both eval_mode and (because the term is zero-valued) train totals."""
+    cfg = _cfg()
+    cfg_floor = dataclasses.replace(cfg, cache_resp_floor=0.4)
+    params = lm.init_lm(jax.random.PRNGKey(0), cfg, cfg.vocab_size)
+    params["cache_gate"]["w"] = jax.random.normal(
+        jax.random.PRNGKey(1), params["cache_gate"]["w"].shape) * 0.3
+    ep = _episode(jax.random.PRNGKey(2), cfg, cfg.vocab_size)
+    t0, c0 = lm.episodic_nll_stats(params, ep, cfg)
+    t1, c1 = lm.episodic_nll_stats(params, ep, cfg_floor)
+    t2, _ = lm.episodic_nll_stats(params, ep, cfg_floor, eval_mode=True)
+    assert float(c0) == float(c1)
+    np.testing.assert_allclose(float(t1), float(t0), rtol=1e-6)
+    np.testing.assert_allclose(float(t2), float(t0), rtol=1e-6)
+
+
+def test_cache_resp_floor_config_validation():
+    with pytest.raises(ValueError, match="cache_resp_floor"):
+        _cfg(support_cache=False, cache_resp_floor=0.25)
+    with pytest.raises(ValueError, match="cache_resp_floor"):
+        _cfg(cache_resp_floor=1.0)
+    with pytest.raises(ValueError, match="cache_resp_floor"):
+        _cfg(cache_resp_floor=-0.1)
+    _cfg(cache_resp_floor=0.25)                        # ok
+
+
 def test_dynamic_cache_matches_numpy_oracle():
     """dynamic_cache_target_logp == per-position numpy recount of the
     query's own masked prefix."""
