@@ -114,17 +114,19 @@ def main(argv=None) -> None:
             "midi_plain_cache", root / "plain", args, support_cache=True,
             cache_backoff="global", cache_calib=True, cache_dynamic=True)
         Path(args.out).write_text(json.dumps(result, indent=1))
-    if "plain_cache_aux" in wanted:
-        # r4: the plain_cache leg above COLLAPSED to the unigram floor
-        # (mixture gradient starvation — at V=204 the count posterior is
-        # near-optimal at init, the gate routes to it, and the LM branch's
-        # gradient is scaled to ~1% by its responsibility; RESULTS.md).
-        # cache_lm_aux=1.0 gives the LM branch its own full-strength CE.
-        result["plain_cache_aux"] = run_leg(
-            "midi_plain_cache_aux", root / "plain", args,
-            support_cache=True, cache_backoff="global", cache_calib=True,
-            cache_dynamic=True, cache_lm_aux=1.0)
-        Path(args.out).write_text(json.dumps(result, indent=1))
+    for tag, seed in (("plain_cache_aux", 0), ("plain_cache_aux_s1", 1)):
+        if tag in wanted:
+            # r4: the plain_cache leg above COLLAPSED to the unigram floor
+            # (mixture gradient starvation — at V=204 the count posterior
+            # is near-optimal at init, the gate routes to it, and the LM
+            # branch's gradient is scaled to ~1% by its responsibility;
+            # RESULTS.md).  cache_lm_aux=1.0 gives the LM branch its own
+            # full-strength CE.  Two seeds (r4 hardening).
+            result[tag] = run_leg(
+                f"midi_{tag}", root / "plain", args, seed=seed,
+                support_cache=True, cache_backoff="global", cache_calib=True,
+                cache_dynamic=True, cache_lm_aux=1.0)
+            Path(args.out).write_text(json.dumps(result, indent=1))
     if "tfm" in wanted:
         # config #4 is literally "transformer-decoder baseline on MIDI
         # episodes" (BASELINE.json:10) — the last unmeasured cell of the
