@@ -83,7 +83,7 @@ def train_main(argv=None) -> None:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if (cfg.support_cache and cfg.cache_lm_aux == 0
-            and corpus.vocab is not None):
+            and cfg.cache_resp_floor == 0 and corpus.vocab is not None):
         # Measured starvation regime (benchmarks/midi_scale.json leg
         # plain_cache, RESULTS.md): when the K support songs already cover
         # ~all query tokens, the count posterior is near-optimal at init,
@@ -91,16 +91,22 @@ def train_main(argv=None) -> None:
         # scaled to ~1% — training silently freezes at the unigram floor.
         # Keyed on the MECHANISM (measured support coverage of query
         # targets), not a vocab-size proxy: MIDI plain/BPE sit at
-        # 1.00/0.99 coverage (both collapse without the aux loss), lyrics
+        # 1.00/0.99 coverage (both collapse without a fix), lyrics
         # V=5000..20000 at 0.67-0.80 (safe).  Warn, don't refuse.
+        # Either fix disarms the warning: cache_resp_floor (recommended —
+        # r5 pre-registered decision, ROADMAP.md ledger #2) or
+        # cache_lm_aux (escapes ~2.5x faster in steps; negative at
+        # vocab scale where the floor is positive).
         from fewshot.data.corpus import support_coverage_estimate
         cov = support_coverage_estimate(corpus, cfg.support_size)
         if cov >= 0.95:
             print(f"warning: support_cache with measured support coverage "
                   f"{cov:.3f} of query tokens (V={len(corpus.vocab)}) and "
-                  f"cache_lm_aux=0 risks mixture gradient starvation "
-                  f"(training freezes at the unigram floor) — consider "
-                  f"--set cache_lm_aux=1.0 (RESULTS.md, "
+                  f"no starvation fix risks mixture gradient starvation "
+                  f"(training freezes at the unigram floor) — set "
+                  f"--set cache_resp_floor=0.25 (recommended; exactly "
+                  f"inert where the mixture is healthy) or "
+                  f"cache_lm_aux=1.0 (RESULTS.md, "
                   f"benchmarks/midi_scale.json)", flush=True)
     vocab_hash = corpus.vocab.content_hash() if corpus.vocab else ""
     if cfg.pipeline == "host" and cfg.task != "episodic":

@@ -269,10 +269,18 @@ def test_cache_starvation_warning_keyed_on_coverage(workspace, tmp_path,
     train_main(hc_args)
     out = capsys.readouterr().out
     assert "gradient starvation" in out and "cache_lm_aux" in out
+    # the warning leads with the r5 recommended fix (pre-registered
+    # decision, ROADMAP.md ledger #2)
+    assert "cache_resp_floor" in out
 
-    # ...and the aux weight silences it.
+    # ...and either fix silences it.
     train_main([a if a != str(tmp_path / "ck_hi") else
                 str(tmp_path / "ck_hi2") for a in hc_args]
                + ["cache_lm_aux=1.0"])
+    out = capsys.readouterr().out
+    assert "gradient starvation" not in out
+    train_main([a if a != str(tmp_path / "ck_hi") else
+                str(tmp_path / "ck_hi3") for a in hc_args]
+               + ["cache_resp_floor=0.25"])
     out = capsys.readouterr().out
     assert "gradient starvation" not in out
