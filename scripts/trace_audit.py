@@ -169,24 +169,41 @@ def tfm_flop_model(cfg, corpus_vocab: int) -> tuple[dict, float]:
         terms[name] = {"formula": formula, "gflops": round(flops / 1e9, 3)}
         return flops
 
+    # The LAST layer's prefix-stream tail is DEAD CODE: only hq feeds the
+    # head, and layer i's query stream consumes the prefix K/V projected
+    # from hp at the layer INPUT — so the final layer's prefix
+    # self-attention, its wo projection, and its MLP are never consumed,
+    # and XLA deletes them (verified r5 on the compiled HLO: exactly ONE
+    # causal-attention custom-call pair for nlayers=2 —
+    # scripts/attn_trace_diag.py, benchmarks/attn_bwd_ident.json).  They
+    # are therefore NOT required work and must not pad the MFU
+    # denominator (the r4/early-r5 model counted them; the 25.8%/40.5%
+    # MFU figures quoted from it are inflated by ~1.25x at this shape).
+    live_p = nlayers - 1            # layers whose prefix tail is consumed
     fwd = 0.0
     fwd += term("qkv_proj", "2*L*(ptok+qtok)*E*3E  (fused QKV, both "
-                "streams)", 2 * nlayers * (ptok + qtok) * E * 3 * E)
-    fwd += term("prefix_self_attn", "2*L*2*B*P*P*E  (scores + probs@V, "
-                "causal rectangle)", 2 * nlayers * 2 * B * P * P * E)
+                "streams; the last layer's dead prefix q-slice is not "
+                "separable from the fused matmul, so it stays counted)",
+                2 * nlayers * (ptok + qtok) * E * 3 * E)
+    fwd += term("prefix_self_attn", "2*(L-1)*2*B*P*P*E  (scores + "
+                "probs@V, causal rectangle; last layer dead)",
+                2 * live_p * 2 * B * P * P * E)
     fwd += term("query_prefix_attn", "2*L*2*B*Q*Lq*(P+Lq)*E  (scores + "
                 "probs@V over prefix ++ self)",
                 2 * nlayers * 2 * B * Q * Lq * (P + Lq) * E)
-    fwd += term("attn_out_proj", "2*L*(ptok+qtok)*E*E",
-                2 * nlayers * (ptok + qtok) * E * E)
-    fwd += term("mlp", "2*L*(ptok+qtok)*2*E*F  (w1 + w2)",
-                2 * nlayers * (ptok + qtok) * 2 * E * F)
+    fwd += term("attn_out_proj", "2*((L-1)*ptok + L*qtok)*E*E  (last "
+                "layer's prefix wo dead)",
+                2 * (live_p * ptok + nlayers * qtok) * E * E)
+    fwd += term("mlp", "2*((L-1)*ptok + L*qtok)*2*E*F  (w1 + w2; last "
+                "layer's prefix MLP dead)",
+                2 * (live_p * ptok + nlayers * qtok) * 2 * E * F)
     fwd += term("head", "2*qtok*E*V  (tied embedding head, query "
                 "positions only)", 2 * qtok * E * V)
     total = 3.0 * fwd
     terms["_total"] = {
         "formula": "3x forward matmul FLOPs (exact backward; flash "
-                   "recompute and remat not credited)",
+                   "recompute and remat not credited; the last layer's "
+                   "dead prefix tail not credited)",
         "gflops": round(total / 1e9, 3),
         "note": f"P=K*T={P}, Lq={Lq}, ptok={ptok}, qtok={qtok}, E={E}, "
                 f"F={F}, V={V}, layers={nlayers}",
